@@ -1,0 +1,56 @@
+"""Rasterizer constants and configuration dataclasses.
+
+Numeric constants mirror the reference CUDA rasterizer so that images,
+depth maps, and gradients can be compared bit-for-bit in spirit:
+see /root/reference diff-surfel-rasterization cuda_rasterizer/config.h:15-17
+and auxiliary.h:18-37.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+# --- Tile / channel geometry (config.h:15-17) ---
+TILE = 16  # BLOCK_X == BLOCK_Y == 16
+NUM_CHANNELS = 3
+
+# --- Blend constants (auxiliary.h:18-37, forward.cu:233-239,385,397-402) ---
+FILTER_SIZE = 0.7071067811865476  # 1/sqrt(2) screen-space low-pass radius
+FILTER_INV_SQUARE = 1.0 / (FILTER_SIZE * FILTER_SIZE)  # == 2.0
+ALPHA_CLIP = 0.99           # max per-splat alpha
+ALPHA_CUTOFF = 1.0 / 255.0  # splats below this alpha are skipped
+T_CUTOFF = 1e-4             # transmittance early-termination threshold
+TRUNCATED_R = 3.0           # 3-sigma truncation radius
+NEAR_PLANE = 0.2
+FAR_PLANE = 100.0
+
+# --- allmap channel layout (auxiliary.h:25-30) ---
+DEPTH_CH = 0          # expected depth * alpha
+ALPHA_CH = 1
+NORMAL_CH = slice(2, 5)  # camera-frame normal * alpha
+MIDDEPTH_CH = 5       # median depth (first depth where T drops <= 0.5)
+DISTORTION_CH = 6
+MEDIAN_WEIGHT_CH = 7
+NUM_AUX_CHANNELS = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static configuration of the tiled rasterizer.
+
+    All fields are *static* under jit: they determine array capacities
+    (XLA requires static shapes; the reference's dynamic per-tile lists
+    become fixed-capacity padded buffers).
+    """
+    # Max tiles a single Gaussian's screen rect may cover. Rects larger than
+    # this are clamped around the rect center (the reference prunes splats
+    # with screen radius > 20px during training, so post-warmup this never
+    # binds at the default).
+    max_tiles_per_gaussian: int = 64
+    # Gaussians are staged through the blend loop in chunks of this size
+    # (the TPU analogue of the CUDA 256-thread shared-memory batches).
+    chunk: int = 128
+    # Per-tile capacity of the gathered-list renderer (pairs beyond this
+    # depth-sorted prefix are dropped; increase for dense scenes).
+    tile_cap: int = 4096
+    depth_ratio: float = 1.0  # 1 => median ("surf") depth, 0 => expected
+    use_pallas: bool = True   # Pallas blend kernels vs pure-XLA fallback

@@ -1,0 +1,63 @@
+"""Quaternion utilities (wxyz convention, matching the reference rasterizer).
+
+Semantics follow /root/reference .../auxiliary.h:188-210 (quat_to_rotmat,
+gsplat-style, component order [w, x, y, z]) and
+gaussian_renderer/__init__.py:24-38 (multiply / standardize).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def quat_normalize(q: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    """Normalize quaternions along the last axis."""
+    n = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + eps)
+    return q / n
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """[..., 4] wxyz quaternion -> [..., 3, 3] rotation matrix.
+
+    Normalizes internally (rsqrt of squared norm, like auxiliary.h:190).
+    Returned matrix uses standard row-major math convention:
+    columns are the rotated basis vectors.
+    """
+    q = quat_normalize(q)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r01 = 2.0 * (x * y - w * z)
+    r02 = 2.0 * (x * z + w * y)
+    r10 = 2.0 * (x * y + w * z)
+    r11 = 1.0 - 2.0 * (x * x + z * z)
+    r12 = 2.0 * (y * z - w * x)
+    r20 = 2.0 * (x * z - w * y)
+    r21 = 2.0 * (y * z + w * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], axis=-1),
+            jnp.stack([r10, r11, r12], axis=-1),
+            jnp.stack([r20, r21, r22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def standardize_quaternion(q: jnp.ndarray) -> jnp.ndarray:
+    """Flip sign so the real (w) part is non-negative."""
+    return jnp.where(q[..., 0:1] < 0, -q, q)
+
+
+def quat_raw_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product a*b, wxyz layout."""
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    ow = aw * bw - ax * bx - ay * by - az * bz
+    ox = aw * bx + ax * bw + ay * bz - az * by
+    oy = aw * by - ax * bz + ay * bw + az * bx
+    oz = aw * bz + ax * by - ay * bx + az * bw
+    return jnp.stack([ow, ox, oy, oz], axis=-1)
+
+
+def quat_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return standardize_quaternion(quat_raw_multiply(a, b))

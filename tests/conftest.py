@@ -1,0 +1,15 @@
+"""Test config: run everything on CPU with 8 virtual devices so sharding
+logic is exercised without TPU hardware (SURVEY.md §4)."""
+import os
+
+# Force CPU: the session env pins JAX_PLATFORMS=axon (remote TPU tunnel),
+# which is wrong for unit tests — they exercise sharding on virtual devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
