@@ -1,0 +1,111 @@
+"""Tiled rasterizer, pure-XLA path.
+
+Blends each 16x16 tile's depth-sorted Gaussian list in fixed-size chunks
+(a lax.scan over chunk index, vmapped over all tiles).  Fully
+differentiable: the backward pass is XLA autodiff — per-chunk gather VJPs
+become scatter-adds, which is exactly the segmented cross-tile gradient
+reduction the CUDA backward implements with atomics (backward.cu:142-449).
+
+The Pallas path (ops/pallas/) replaces only the per-tile blend loop; this
+module is the semantics oracle and the CPU/fallback implementation.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TILE, RasterConfig
+from ..data.cameras import Camera
+from . import blend as B
+from .binning import Binning, bin_gaussians
+from .projection import preprocess, tile_grid
+
+
+def _tile_pixels(grid_x: int, grid_y: int):
+    """Pixel-center coordinates for every tile: [T, TILE*TILE, 2]."""
+    t = jnp.arange(grid_x * grid_y, dtype=jnp.int32)
+    bx = (t % grid_x) * TILE
+    by = (t // grid_x) * TILE
+    oy, ox = jnp.mgrid[0:TILE, 0:TILE]
+    px = bx[:, None] + ox.ravel()[None, :]
+    py = by[:, None] + oy.ravel()[None, :]
+    return jnp.stack([px + 0.5, py + 0.5], axis=-1).astype(jnp.float32)
+
+
+def blend_tiles_xla(Tmat, center, normal, colors, opacity, depth,
+                    binning: Binning, grid_x: int, grid_y: int,
+                    cfg: RasterConfig):
+    """Blend all tiles. Per-Gaussian inputs are in ORIGINAL index space.
+
+    Returns (color [T,P,3], allmap [T,P,8]) with P = TILE*TILE.
+    """
+    num_tiles = grid_x * grid_y
+    P = TILE * TILE
+    pix = _tile_pixels(grid_x, grid_y)                     # [T,P,2]
+    n_chunks = max(cfg.tile_cap // cfg.chunk, 1)
+    B_pairs = binning.pair_gid.shape[0]
+
+    state0 = jax.vmap(lambda _: B.init_state(P))(jnp.arange(num_tiles))
+
+    def chunk_step(state, c):
+        base = binning.tile_start + c * cfg.chunk          # [T]
+        offs = base[:, None] + jnp.arange(cfg.chunk, dtype=jnp.int32)[None, :]
+        in_range = offs < (binning.tile_start + binning.tile_count)[:, None]
+        offs = jnp.clip(offs, 0, B_pairs - 1)
+        ids = binning.pair_gid[offs]                       # [T,chunk]
+        ok = in_range & binning.pair_valid[offs]
+
+        g_T = Tmat[ids]                                    # [T,chunk,3,3]
+        g_center = center[ids]
+        g_normal = normal[ids]
+        g_color = colors[ids]
+        g_opac = jnp.where(ok, opacity[ids], 0.0)
+
+        def tile_blend(st, tT, tc, tn, tcol, topac, tpix):
+            a, d = B.pixel_responses(tT, tc, topac, tpix)
+            return B.blend_chunk(st, a, d, tcol, tn)
+
+        state = jax.vmap(tile_blend)(state, g_T, g_center, g_normal,
+                                     g_color, g_opac, pix)
+        return state, None
+
+    state, _ = jax.lax.scan(chunk_step, state0,
+                            jnp.arange(n_chunks, dtype=jnp.int32))
+    color, allmap = jax.vmap(B.finalize, in_axes=(0, None))(
+        state, jnp.zeros((3,), jnp.float32))
+    return color, allmap, state
+
+
+def tiles_to_image(tile_img: jnp.ndarray, grid_x: int, grid_y: int,
+                   H: int, W: int) -> jnp.ndarray:
+    """[T, TILE*TILE, C] -> [H, W, C] (cropping tile padding)."""
+    C = tile_img.shape[-1]
+    img = tile_img.reshape(grid_y, grid_x, TILE, TILE, C)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(grid_y * TILE, grid_x * TILE, C)
+    return img[:H, :W]
+
+
+def rasterize_tiled(means3d, scales, quats, opacities, colors, cam: Camera,
+                    bg=None, scale_modifier: float = 1.0,
+                    cfg: RasterConfig = RasterConfig()):
+    """Full tiled pipeline: preprocess -> bin -> blend -> assemble.
+
+    Same contract as rasterize_dense. Background composite happens here
+    (blend_tiles_xla returns zero-bg tiles so the Pallas path can share).
+    """
+    H, W = cam.H, cam.W
+    gx, gy = tile_grid(H, W)
+    if bg is None:
+        bg = jnp.zeros((3,), jnp.float32)
+    prep = preprocess(means3d, scales, quats, cam, scale_modifier)
+    binning = bin_gaussians(prep, gx, gy, cfg)
+    opac = jnp.where(prep.valid, opacities, 0.0)
+    tile_color, tile_allmap, state = blend_tiles_xla(
+        prep.T, prep.center, prep.normal, colors, opac, prep.depth,
+        binning, gx, gy, cfg)
+    # bg composite: color tiles already include nothing for bg; add T*bg
+    Tfinal = 1.0 - tile_allmap[..., 1:2]
+    tile_color = tile_color + Tfinal * bg[None, None, :]
+    color = tiles_to_image(tile_color, gx, gy, H, W)
+    allmap = tiles_to_image(tile_allmap, gx, gy, H, W)
+    return color, allmap, prep.radius, prep, binning
