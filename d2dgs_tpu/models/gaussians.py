@@ -1,0 +1,148 @@
+"""Canonical Gaussian point-cloud state — the reference's GaussianModel
+(scene/gaussian_model.py) re-designed as a static-capacity functional pytree.
+
+Differences from the reference, by TPU design:
+  * Arrays are padded to a fixed ``capacity`` with an ``alive`` mask; the
+    point count changes by masked scatter, never by reallocation, so every
+    train step compiles once (XLA static shapes).
+  * No optimizer-state "surgery": densify/prune are pure functions over
+    (params, opt_moments, stats) pytrees (see models/densify.py).
+  * Parameters are raw (pre-activation) leaves; activations are applied
+    functionally (exp / sigmoid / normalize, gaussian_model.py:66-74).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.knn import mean_knn_sq_dist
+from ..utils.general import inverse_sigmoid
+from ..utils.quaternion import quat_normalize
+from ..utils.sh import rgb_to_sh
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["xyz", "features_dc", "features_rest", "scaling",
+                      "rotation", "opacity", "feature", "alive"],
+         meta_fields=["active_sh_degree", "max_sh_degree", "with_motion_mask"])
+@dataclasses.dataclass(frozen=True)
+class GaussianParams:
+    xyz: jnp.ndarray            # [C,3]
+    features_dc: jnp.ndarray    # [C,1,3] SH DC band
+    features_rest: jnp.ndarray  # [C,(d+1)^2-1,3]
+    scaling: jnp.ndarray        # [C,2] log-scale (2D surfel!)
+    rotation: jnp.ndarray       # [C,4] raw quaternion (wxyz)
+    opacity: jnp.ndarray        # [C,1] logit
+    feature: jnp.ndarray        # [C,F] hyper coords (+ motion-mask logit last)
+    alive: jnp.ndarray          # [C] bool
+    active_sh_degree: int
+    max_sh_degree: int
+    with_motion_mask: bool
+
+    # --- activated views (gaussian_model.py:98-127) ---
+    @property
+    def capacity(self) -> int:
+        return self.xyz.shape[0]
+
+    @property
+    def num_alive(self):
+        return jnp.sum(self.alive.astype(jnp.int32))
+
+    @property
+    def get_scaling(self):
+        return jnp.exp(self.scaling)
+
+    @property
+    def get_rotation(self):
+        return quat_normalize(self.rotation, eps=1e-12)
+
+    @property
+    def get_opacity(self):
+        return jax.nn.sigmoid(self.opacity)
+
+    @property
+    def get_features(self):
+        return jnp.concatenate([self.features_dc, self.features_rest], axis=1)
+
+    @property
+    def motion_mask(self):
+        """[C,1] sigmoid of the last feature channel (gaussian_model.py:93-98)."""
+        if self.with_motion_mask:
+            return jax.nn.sigmoid(self.feature[..., -1:])
+        return jnp.ones_like(self.xyz[..., :1])
+
+    @property
+    def hyper_feature(self):
+        """Hyper-space coordinates (all but the motion-mask channel)."""
+        end = -1 if self.with_motion_mask else self.feature.shape[-1]
+        return self.feature[..., :end]
+
+    def oneup_sh_degree(self) -> "GaussianParams":
+        if self.active_sh_degree < self.max_sh_degree:
+            return dataclasses.replace(
+                self, active_sh_degree=self.active_sh_degree + 1)
+        return self
+
+
+def apply_deform(params: GaussianParams, d_xyz=0.0, d_rotation=0.0,
+                 d_scaling=0.0, d_opacity=None, d_color=None):
+    """Assemble rasterizer inputs from canonical params + deformation deltas
+    (gaussian_renderer/__init__.py:83-122).
+
+    Returns (means3d [C,3], scales [C,2], quats [C,4], opacity [C],
+    sh [C,K,3]).  Dead slots carry opacity 0.
+    """
+    means3d = params.xyz + d_xyz
+    scales = params.get_scaling + d_scaling
+    quats = quat_normalize(params.rotation + d_rotation, eps=1e-12)
+    opacity = params.get_opacity
+    if d_opacity is not None:
+        opacity = opacity + d_opacity
+    opacity = jnp.where(params.alive[:, None], opacity, 0.0)[:, 0]
+    if d_color is not None:
+        dc = params.features_dc + (0.0 + d_color)[:, None, :]
+        sh = jnp.concatenate([dc, params.features_rest], axis=1)
+    else:
+        sh = params.get_features
+    return means3d, scales, quats, opacity, sh
+
+
+def create_from_pcd(points: np.ndarray, colors: np.ndarray, capacity: int,
+                    sh_degree: int = 3, fea_dim: int = 8,
+                    with_motion_mask: bool = True,
+                    isotropic: bool = False) -> GaussianParams:
+    """Initialize from a point cloud (gaussian_model.py:145-180):
+    scales from 3-NN mean squared distance, identity rotation, opacity 0.1,
+    feature -1e-2 (motion-mask logit 0)."""
+    n = points.shape[0]
+    assert n <= capacity, f"{n} points > capacity {capacity}"
+    k = (sh_degree + 1) ** 2
+    pts = jnp.asarray(points, jnp.float32)
+    dist2 = jnp.maximum(mean_knn_sq_dist(pts), 1e-7)
+    scale = 0.5 * jnp.log(dist2)  # log(sqrt(dist2))
+
+    def pad(x, shape_tail, fill=0.0):
+        out = jnp.full((capacity,) + shape_tail, fill, jnp.float32)
+        return out.at[:n].set(x)
+
+    fdim = fea_dim + (1 if with_motion_mask else 0)
+    feature = jnp.full((capacity, fdim), -1e-2, jnp.float32)
+    if with_motion_mask:
+        feature = feature.at[:, -1].set(0.0)
+
+    return GaussianParams(
+        xyz=pad(pts, (3,)),
+        features_dc=pad(rgb_to_sh(jnp.asarray(colors, jnp.float32))[:, None, :],
+                        (1, 3)),
+        features_rest=jnp.zeros((capacity, k - 1, 3), jnp.float32),
+        scaling=pad(jnp.tile(scale[:, None], (1, 2)), (2,)),
+        rotation=jnp.zeros((capacity, 4), jnp.float32).at[:, 0].set(1.0),
+        opacity=pad(inverse_sigmoid(0.1) * jnp.ones((n, 1)), (1,)),
+        feature=feature,
+        alive=jnp.zeros((capacity,), bool).at[:n].set(True),
+        active_sh_degree=0, max_sh_degree=sh_degree,
+        with_motion_mask=with_motion_mask)

@@ -1,0 +1,60 @@
+"""Exact k-nearest-neighbour ops, MXU-shaped.
+
+Replaces both native KNN dependencies of the reference:
+  * simple-knn's ``distCUDA2`` (Morton-grid 3-NN mean sq distance used for
+    scale init, simple_knn.cu:185-221),
+  * pytorch3d ``knn_points`` used for Gaussian->control-node binding
+    (time_utils.py:934-967).
+
+Distances are computed as |x|^2 + |y|^2 - 2 x.y so the dominant term is a
+matmul that XLA tiles onto the MXU; top-k runs on the [Q, M] score matrix.
+Query chunking (lax.map) bounds memory for large Q.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int,
+        query_chunk: int = 4096, exclude_self: bool = False):
+    """query [Q,D], ref [M,D] -> (sq_dists [Q,k], idx [Q,k]), ascending.
+
+    exclude_self: assumes query IS ref (same indexing) and masks the
+    diagonal (for self-KNN graphs).
+    """
+    q, d = query.shape
+    m = ref.shape[0]
+    ref_sq = jnp.sum(ref * ref, axis=-1)                    # [M]
+
+    pad = (-q) % query_chunk
+    qp = jnp.pad(query, ((0, pad), (0, 0)))
+    n_chunks = qp.shape[0] // query_chunk
+    qc = qp.reshape(n_chunks, query_chunk, d)
+    base = jnp.arange(n_chunks, dtype=jnp.int32) * query_chunk
+
+    def chunk_fn(args):
+        qrows, row0 = args
+        dots = jnp.dot(qrows, ref.T, preferred_element_type=jnp.float32)
+        d2 = (jnp.sum(qrows * qrows, axis=-1, keepdims=True)
+              + ref_sq[None, :] - 2.0 * dots)
+        if exclude_self:
+            rows = row0 + jnp.arange(query_chunk, dtype=jnp.int32)
+            cols = jnp.arange(m, dtype=jnp.int32)
+            d2 = jnp.where(rows[:, None] == cols[None, :], jnp.inf, d2)
+        neg, idx = jax.lax.top_k(-d2, k)
+        return -neg, idx
+
+    d2, idx = jax.lax.map(chunk_fn, (qc, base))
+    d2 = d2.reshape(-1, k)[:q]
+    idx = idx.reshape(-1, k)[:q]
+    return jnp.maximum(d2, 0.0), idx
+
+
+def mean_knn_sq_dist(points: jnp.ndarray, k: int = 3,
+                     query_chunk: int = 4096) -> jnp.ndarray:
+    """distCUDA2 equivalent: mean squared distance to the k nearest
+    *other* points (simple_knn.cu computes 3-NN excluding self)."""
+    d2, _ = knn(points, points, k, query_chunk=query_chunk,
+                exclude_self=True)
+    return jnp.mean(d2, axis=-1)
