@@ -1,0 +1,272 @@
+"""Sparse-control-node deformation — the reference's ControlNodeWarp
+(utils/time_utils.py:770-1387), functional and capacity-padded.
+
+A set of M control nodes carries (xyz + hyper coords), a log radius and a
+weight logit.  Deformation of a Gaussian = KNN(K=3)-weighted blend of the
+per-node MLP deltas, gated by the Gaussian's motion mask; KNN runs in
+(xyz ⊕ hyper) space with Gaussian-kernel weights exp(-d^2 / 2r^2) * w_node
+(cal_nn_weight, time_utils.py:934-967).
+
+TPU adaptations: node count is capacity-padded with an ``alive`` mask
+(dead nodes are +inf distance in the KNN), node densify/prune is a masked
+scatter (mirroring models/densify.py), RNG is explicit.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.knn import knn
+from ..utils.general import farthest_point_sample
+from .deform_mlp import MLPConfig, init_mlp, mlp_forward
+
+ROT_BIAS = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class NodeConfig:
+    node_num: int = 512          # capacity M
+    K: int = 3
+    hyper_dim: int = 8
+    d_rot_as_res: bool = True
+    with_node_weight: bool = True
+    with_arap_loss: bool = False
+    is_scene_static: bool = False
+    mlp: MLPConfig = MLPConfig()
+
+    @property
+    def lambda_arap_schedule(self):
+        """(landmarks, steps) for the ARAP weight (time_utils.py:790-795)."""
+        if self.with_arap_loss and not self.is_scene_static:
+            return ([1e-4, 1e-4, 1e-5, 1e-5, 0],
+                    [0, 5000, 10000, 20000, 20001])
+        return ([0], [0])
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["nodes", "node_radius", "node_weight", "mlp", "alive"],
+         meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class NodeParams:
+    nodes: jnp.ndarray        # [M, 3+hyper]
+    node_radius: jnp.ndarray  # [M] log radius
+    node_weight: jnp.ndarray  # [M, 1] logit
+    mlp: dict
+    alive: jnp.ndarray        # [M] bool
+
+    @property
+    def num_alive(self):
+        return jnp.sum(self.alive.astype(jnp.int32))
+
+
+def init_node_params(key, cfg: NodeConfig) -> NodeParams:
+    k1, k2, k3 = jax.random.split(key, 3)
+    m = cfg.node_num
+    return NodeParams(
+        nodes=jax.random.normal(k1, (m, 3 + cfg.hyper_dim), jnp.float32),
+        node_radius=jax.random.normal(k2, (m,), jnp.float32),
+        node_weight=jnp.zeros((m, 1), jnp.float32),
+        mlp=init_mlp(k3, cfg.mlp),
+        alive=jnp.ones((m,), bool))
+
+
+def init_nodes_from_pcl(params: NodeParams, cfg: NodeConfig,
+                        pcl: jnp.ndarray, key,
+                        sample_pcl: jnp.ndarray | None = None) -> NodeParams:
+    """FPS-sample node positions from a point cloud, set hyper coords to
+    1e-2, radius to log(0.1 * scene_range) (time_utils.py:886-927).
+    sample_pcl: optional alternative space to FPS in (hyper trajectories)."""
+    m = cfg.node_num
+    scene_range = jnp.max(pcl) - jnp.min(pcl)
+    n = pcl.shape[0]
+    if n <= m:
+        xyz = jnp.zeros((m, 3), pcl.dtype).at[:n].set(pcl)
+        alive = jnp.zeros((m,), bool).at[:n].set(True)
+    else:
+        idx = farthest_point_sample(
+            key, pcl if sample_pcl is None else sample_pcl, m)
+        xyz = pcl[idx]
+        alive = jnp.ones((m,), bool)
+    nodes = jnp.concatenate(
+        [xyz, 1e-2 * jnp.ones((m, cfg.hyper_dim), jnp.float32)], axis=-1)
+    radius = jnp.log(0.1 * scene_range + 1e-7) * jnp.ones((m,), jnp.float32)
+    return dataclasses.replace(
+        params, nodes=nodes, node_radius=radius,
+        node_weight=jnp.zeros((m, 1), jnp.float32), alive=alive)
+
+
+def cal_nn_weight(params: NodeParams, cfg: NodeConfig, x: jnp.ndarray,
+                  feature: jnp.ndarray | None, K: int | None = None,
+                  nodes: jnp.ndarray | None = None):
+    """Gaussian->node binding weights (time_utils.py:934-967).
+
+    x: [N,3] (stop-gradded inside); feature: [N,hyper] learnable hyper
+    coords of the Gaussians. Returns (weight [N,K], dist2 [N,K], idx [N,K]).
+    """
+    K = cfg.K if K is None else K
+    q = jax.lax.stop_gradient(x)
+    base = params.nodes if nodes is None else nodes
+    ref = jax.lax.stop_gradient(base[:, :3])
+    if feature is not None and cfg.hyper_dim > 0:
+        q = jnp.concatenate([q, feature[..., :cfg.hyper_dim]], axis=-1)
+        ref = jnp.concatenate([ref, params.nodes[:, 3:]], axis=-1)
+    # NOTE: distances stay differentiable w.r.t. hyper coords (both sides);
+    # only xyz is frozen, as in the reference.
+    d2_full = (jnp.sum(q * q, axis=-1, keepdims=True)
+               + jnp.sum(ref * ref, axis=-1)[None, :]
+               - 2.0 * jnp.dot(q, ref.T, preferred_element_type=jnp.float32))
+    d2_full = jnp.maximum(d2_full, 0.0)
+    d2_full = jnp.where(params.alive[None, :], d2_full, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2_full, K)
+    nn_dist = jnp.take_along_axis(d2_full, idx, axis=1)   # differentiable
+
+    r = jnp.exp(params.node_radius)[idx]                  # [N,K]
+    w = jnp.exp(-nn_dist / (2.0 * r * r))
+    if cfg.with_node_weight:
+        w = w * jax.nn.sigmoid(params.node_weight)[idx, 0]
+    w = w + 1e-7
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    return w, nn_dist, idx
+
+
+def expand_time(params: NodeParams, t) -> jnp.ndarray:
+    """scalar t -> [M,1] (time_utils.py:929-932)."""
+    m = params.nodes.shape[0]
+    return jnp.broadcast_to(jnp.asarray(t, jnp.float32).reshape(1, 1), (m, 1))
+
+
+def node_deform(params: NodeParams, cfg: NodeConfig, t: jnp.ndarray,
+                detach_node: bool = True) -> dict:
+    """Query the MLP at node positions. t: [M,1] or [M,T,1]
+    (time_utils.py:990-1002)."""
+    xyz = params.nodes[:, :3]
+    if detach_node:
+        xyz = jax.lax.stop_gradient(xyz)
+    if t.ndim == 3:
+        m, tt, _ = t.shape
+        xyz = jnp.broadcast_to(xyz[:, None, :], (m, tt, 3))
+    return mlp_forward(params.mlp, cfg.mlp, xyz, t)
+
+
+def warp(params: NodeParams, cfg: NodeConfig, x: jnp.ndarray, t,
+         feature: jnp.ndarray | None, motion_mask: jnp.ndarray) -> dict:
+    """Deform Gaussians at time t (ControlNodeWarp.forward,
+    time_utils.py:1133-1226; the interactive-editing node_trans_bias paths
+    live in the editing module, not here).
+
+    x: [N,3] canonical xyz; t: scalar or [M,1]; motion_mask: [N,1].
+    Returns dict(d_xyz [N,3], d_rotation [N,4], d_scaling [N,2],
+    d_opacity, d_color).
+    """
+    t = expand_time(params, t) if jnp.ndim(t) == 0 else t
+    x = jax.lax.stop_gradient(x)
+    nn_weight, _, nn_idx = cal_nn_weight(params, cfg, x, feature)
+    attrs = node_deform(params, cfg, t)
+    node_trans, node_rot = attrs["d_xyz"], attrs["d_rotation"]
+    node_scale = attrs["d_scaling"]
+
+    def blend(v):  # [M,C] -> [N,C]
+        return jnp.sum(v[nn_idx] * nn_weight[..., None], axis=1)
+
+    if cfg.mlp.local_frame:
+        from ..utils.quaternion import quat_to_rotmat
+        local_rot = attrs["local_rotation"] + ROT_BIAS
+        Rl = quat_to_rotmat(local_rot)                    # [M,3,3]
+        nn_nodes = jax.lax.stop_gradient(params.nodes[nn_idx, :3])
+        rel = x[:, None, :] - nn_nodes                    # [N,K,3]
+        Ax = (jnp.einsum("nkab,nkb->nka", Rl[nn_idx], rel)
+              + nn_nodes + node_trans[nn_idx])
+        translate = jnp.sum(Ax * nn_weight[..., None], axis=1) - x
+    else:
+        translate = blend(node_trans)
+    translate = translate * motion_mask
+
+    if cfg.d_rot_as_res:
+        rotation = blend(node_rot) * motion_mask
+    else:
+        node_rot = node_rot + ROT_BIAS
+        rotation = (blend(node_rot) - ROT_BIAS) * motion_mask + ROT_BIAS
+
+    scale = blend(node_scale) * motion_mask
+    out = {"d_xyz": translate, "d_rotation": rotation, "d_scaling": scale,
+           "d_opacity": None, "d_color": None}
+    if cfg.mlp.pred_opacity and attrs["d_opacity"] is not None:
+        out["d_opacity"] = blend(attrs["d_opacity"]) * motion_mask
+    if cfg.mlp.pred_color and attrs["d_color"] is not None:
+        out["d_color"] = blend(attrs["d_color"]) * motion_mask
+    return out
+
+
+# ----------------------------------------------------------------------
+# Node densification (time_utils.py:1269-1386) under static capacity
+# ----------------------------------------------------------------------
+
+def cal_node_importance(params: NodeParams, cfg: NodeConfig, x: jnp.ndarray,
+                        weights: jnp.ndarray, feature: jnp.ndarray | None):
+    """Importance voting: Gaussians scatter their (weighted) influence onto
+    their KNN nodes. Returns (importance [M], avg_x [M,3+h], edge_count [M])."""
+    m = params.nodes.shape[0]
+    xh = x
+    if cfg.hyper_dim > 0 and feature is not None:
+        xh = jnp.concatenate([x, feature[..., :cfg.hyper_dim]], axis=-1)
+    nn_weight, _, nn_idx = cal_nn_weight(params, cfg, x, feature)
+    flat_idx = nn_idx.reshape(-1)
+    ww = (nn_weight * weights[:, None]).reshape(-1)
+    importance = jnp.zeros((m,), jnp.float32).at[flat_idx].add(ww)
+    edge_count = jnp.zeros((m,), jnp.float32).at[flat_idx].add(
+        nn_weight.reshape(-1))
+    dim = xh.shape[-1]
+    contrib = ww[:, None] * jnp.broadcast_to(
+        xh[:, None, :], (*nn_weight.shape, dim)).reshape(-1, dim)
+    avg_x = jnp.zeros((m, dim), jnp.float32).at[flat_idx].add(contrib)
+    avg_x = avg_x / jnp.maximum(importance[:, None], 1e-12)
+    importance = importance / (edge_count + 1e-7)
+    return importance, avg_x, edge_count
+
+
+def densify_nodes(params: NodeParams, cfg: NodeConfig, mu, nu,
+                  x: jnp.ndarray, x_grad: jnp.ndarray,
+                  feature: jnp.ndarray | None, max_grad: float,
+                  alive_gaussians: jnp.ndarray):
+    """Add nodes where Gaussian-gradient importance is high; prune nodes no
+    Gaussian binds to (time_utils.py:1286-1386). mu/nu: Adam moment dicts
+    with leaves {nodes, node_radius, node_weight}."""
+    g = jnp.nan_to_num(jnp.linalg.norm(x_grad, axis=-1))
+    g = jnp.where(alive_gaussians, g, 0.0)
+    importance, avg_x, edge_count = cal_node_importance(
+        params, cfg, x, g, feature)
+    sel = params.alive & (importance > max_grad) & jnp.all(
+        jnp.isfinite(avg_x), axis=-1)
+    prune = params.alive & (edge_count == 0.0)
+    alive = params.alive & ~prune
+
+    # free-slot assignment (same scheme as models/densify.py)
+    m = params.nodes.shape[0]
+    free = ~alive
+    rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    inv = jnp.full((m,), m, jnp.int32).at[
+        jnp.where(free, rank, m)].set(jnp.arange(m, dtype=jnp.int32),
+                                      mode="drop")
+    num_free = jnp.sum(free.astype(jnp.int32))
+    sel_rank = jnp.where(sel, jnp.cumsum(sel.astype(jnp.int32)) - 1, m)
+    dest = jnp.where(sel & (sel_rank < num_free),
+                     inv[jnp.clip(sel_rank, 0, m - 1)], m)
+
+    nodes = params.nodes.at[dest].set(avg_x, mode="drop")
+    radius = params.node_radius.at[dest].set(params.node_radius, mode="drop")
+    weight = params.node_weight.at[dest].set(params.node_weight, mode="drop")
+    alive = alive.at[dest].set(True, mode="drop")
+
+    def zero_rows(t):
+        return {k: v.at[dest].set(jnp.zeros_like(v[0]), mode="drop")
+                for k, v in t.items()}
+
+    info = dict(added=jnp.sum(dest < m), pruned=jnp.sum(prune))
+    return (dataclasses.replace(params, nodes=nodes, node_radius=radius,
+                                node_weight=weight, alive=alive),
+            zero_rows(mu), zero_rows(nu), info)
