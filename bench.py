@@ -1,0 +1,101 @@
+"""Benchmark: jumpingjacks-scale rasterizer throughput (fwd+bwd) on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (BASELINE.md north star): 800x800 render + photometric loss +
+gradients to every Gaussian parameter and the deformation field, i.e. the
+hot path of one training iteration (preprocess -> bin -> tiled blend ->
+loss -> full backward), at a trained-scene scale of N=100k Gaussians.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
+denominator is an estimate of the reference CUDA trainer on A100: ~10
+iters/s at 800x800 => 6.4M rays/s.  The >=1.5x speed-of-light goal means
+vs_baseline >= 1.5 once the Pallas path lands.
+"""
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d2dgs_tpu.config import RasterConfig
+from d2dgs_tpu.data.cameras import orbit_camera
+from d2dgs_tpu.models.nodes import warp
+from d2dgs_tpu.ops.ssim import l1, ssim
+from d2dgs_tpu.render.renderer import render
+from d2dgs_tpu.train.config import TrainConfig
+from d2dgs_tpu.train.trainer import init_train_state
+
+A100_REF_RAYS_PER_S = 6.4e6  # estimated reference CUDA trainer, see docstring
+
+H = W = 800
+N = 100_000
+
+
+def main():
+    cfg = TrainConfig(gaussian_capacity=N, node_num=512,
+                      raster=RasterConfig(tile_cap=1024, chunk=128))
+    key = jax.random.PRNGKey(0)
+    # trained-scene-like cluster: unit-ish body, small splats
+    pts = np.asarray(jax.random.normal(key, (N, 3)) * 0.4)
+    cols = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (N, 3)))
+    state = init_train_state(key, cfg, pts, cols)
+    # realistic splat sizes after training: ~1e-2 world units
+    import dataclasses
+    gauss = state.gauss
+    gauss = dataclasses.replace(
+        gauss, scaling=jnp.full_like(gauss.scaling, np.log(8e-3)))
+    cam = orbit_camera(0.3, 0.25, 4.0, fov=0.69, H=H, W=W, time=0.5)
+    gt = jnp.zeros((H, W, 3), jnp.float32)
+    bg = jnp.zeros((3,), jnp.float32)
+    nodes = state.nodes
+
+    def loss_fn(g_xyz, g_scaling, g_rot, g_opac, g_fdc, mlp):
+        g = dataclasses.replace(gauss, xyz=g_xyz, scaling=g_scaling,
+                                rotation=g_rot, opacity=g_opac,
+                                features_dc=g_fdc)
+        nd = dataclasses.replace(nodes, mlp=mlp)
+        d = warp(nd, cfg.node_cfg, g.xyz, cam.time, feature=g.feature,
+                 motion_mask=g.motion_mask)
+        out = render(cam, g, bg, d_xyz=d["d_xyz"],
+                     d_rotation=d["d_rotation"], d_scaling=d["d_scaling"],
+                     cfg=cfg.raster)
+        return ((1.0 - cfg.lambda_dssim) * l1(out.image, gt)
+                + cfg.lambda_dssim * (1.0 - ssim(out.image, gt)))
+
+    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5)))
+    args = (gauss.xyz, gauss.scaling, gauss.rotation, gauss.opacity,
+            gauss.features_dc, nodes.mlp)
+
+    t0 = time.time()
+    grads = step(*args)
+    jax.block_until_ready(grads)
+    compile_s = time.time() - t0
+
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        grads = step(*args)
+    jax.block_until_ready(grads)
+    dt = (time.time() - t0) / iters
+
+    rays_per_s = H * W / dt
+    print(json.dumps({
+        "metric": "jumpingjacks-scale 800x800 rays/s/chip fwd+bwd",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / A100_REF_RAYS_PER_S, 4),
+        "detail": {"step_ms": round(dt * 1e3, 2),
+                   "compile_s": round(compile_s, 1),
+                   "n_gaussians": N,
+                   "device": str(jax.devices()[0]).split(":")[0]},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,57 @@ def test_camera(H: int = 64, W: int = 64, radius: float = 4.0,
                         time=time)
 
 
+def animated_scene(key, n: int = 24, amp: float = 0.35):
+    """A compact cluster of Gaussians with a smooth, rigid-ish motion field:
+    at time t, points rotate about the y axis and bob vertically.
+    Returns (static_params, motion_fn(t) -> xyz[t])."""
+    ks = jax.random.split(key, 5)
+    means = jax.random.uniform(ks[0], (n, 3), minval=-0.5, maxval=0.5)
+    scales = jax.random.uniform(ks[1], (n, 2), minval=0.08, maxval=0.18)
+    quats = jax.random.normal(ks[2], (n, 4))
+    quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    opac = jax.random.uniform(ks[3], (n,), minval=0.6, maxval=0.95)
+    colors = jax.random.uniform(ks[4], (n, 3), minval=0.1, maxval=0.9)
+
+    def motion(t):
+        # linear-in-t rigid motion: NONZERO at every sampled timestamp
+        # (a sin(2*pi*t) phase is zero at t=0/0.5/1 — exactly the grid a
+        # small n_times dataset samples, making the scene silently static)
+        ang = amp * (2.0 * t - 1.0)
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        R = jnp.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        dy = 0.25 * (2.0 * t - 1.0)
+        return means @ R.T + jnp.array([0.0, 1.0, 0.0]) * dy
+
+    return (means, scales, quats, opac, colors), motion
+
+
+def make_video_dataset(key, n_cams: int = 8, n_times: int = 4,
+                       H: int = 64, W: int = 64, n_gauss: int = 24):
+    """Render a ground-truth multi-view video with the dense renderer.
+    Returns (cameras, images, init_points, init_colors)."""
+    from ..ops.dense_raster import rasterize_dense
+    (means, scales, quats, opac, colors), motion = animated_scene(
+        key, n=n_gauss)
+    cams, imgs = [], []
+    k = key
+    rng = np.random.RandomState(0)
+    for i in range(n_cams * n_times):
+        t = (i % n_times) / max(n_times - 1, 1)
+        az = 2 * np.pi * (i // n_times) / n_cams + 0.05 * rng.randn()
+        cam = orbit_camera(az, 0.3, 4.0, fov=0.9, H=H, W=W, time=t)
+        xyz_t = motion(jnp.float32(t))
+        img, _, _, _ = rasterize_dense(xyz_t, scales, quats, opac, colors,
+                                       cam, jnp.zeros(3))
+        cams.append(cam)
+        imgs.append(np.asarray(img))
+    k1, k2 = jax.random.split(key)
+    init_pts = np.asarray(jax.random.uniform(k1, (256, 3), minval=-1.0,
+                                             maxval=1.0))
+    init_cols = np.asarray(jax.random.uniform(k2, (256, 3)))
+    return cams, imgs, init_pts, init_cols
+
+
 def single_facing_gaussian(cam: Camera, depth: float = 4.0,
                            scale: float = 0.3, opacity: float = 0.8):
     """One surfel centred on the optical axis, facing the camera."""

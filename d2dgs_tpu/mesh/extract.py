@@ -1,0 +1,54 @@
+"""Mesh reconstruction driver — the GaussianExtractor equivalent
+(utils/mesh_utils.py:93-199 + render_mesh.py:86-240).
+
+Per timestamp: render every training camera at that time (deformed), mask
+the median ("surf") depth by the gt alpha mask and the RGB background test
+(depth_filtering), fuse into a TSDF volume, extract + filter the mesh.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.nodes import warp
+from ..render.renderer import render
+from .tsdf import (TsdfVolume, extract_mesh, integrate_view,
+                   largest_components, make_volume)
+
+
+def reconstruct_mesh(cameras, gauss, nodes, node_cfg, raster_cfg,
+                     mesh_time: float, bg=None,
+                     alpha_masks=None,
+                     bounds=((-1.3, -1.3, -1.3), (1.3, 1.3, 1.3)),
+                     voxel: float = 0.008, depth_trunc: float = 6.0,
+                     keep_clusters: int = 1,
+                     depth_filtering: bool = True):
+    """cameras: list[Camera]; alpha_masks: optional list of [H,W,1] gt
+    masks (depth zeroed where mask < 0.5, mesh_utils.py:185-186).
+    Returns (verts, faces)."""
+    if bg is None:
+        bg = jnp.zeros((3,), jnp.float32)
+    vol = make_volume(bounds[0], bounds[1], voxel=voxel)
+    t = jnp.float32(mesh_time)
+
+    @jax.jit
+    def render_view(cam):
+        d = warp(nodes, node_cfg, gauss.xyz, t, feature=gauss.feature,
+                 motion_mask=gauss.motion_mask)
+        out = render(cam, gauss, bg, d_xyz=d["d_xyz"],
+                     d_rotation=d["d_rotation"], d_scaling=d["d_scaling"],
+                     depth_filtering=depth_filtering, cfg=raster_cfg)
+        return out.image, out.depth[..., 0]
+
+    for i, cam in enumerate(cameras):
+        rgb, depth = render_view(cam)
+        if alpha_masks is not None and alpha_masks[i] is not None:
+            m = jnp.asarray(alpha_masks[i])[..., 0] >= 0.5
+            depth = jnp.where(m, depth, 0.0)
+        vol = integrate_view(vol, depth, rgb, cam, depth_trunc=depth_trunc)
+
+    verts, faces = extract_mesh(vol)
+    if keep_clusters > 0 and faces.shape[0] > 0:
+        verts, faces = largest_components(verts, faces, keep=keep_clusters)
+    return verts, faces

@@ -152,6 +152,8 @@ def densify_and_prune(params: GaussianParams, mu, nu, stats: DensifyStats,
     scale_max_new = jnp.max(jnp.exp(new["scaling"]), axis=-1)
     prune = opac < min_opacity
     if prune_big_ws:
+        # big in view space (>20 px, gaussian_model.py:465-467) or world
+        prune = prune | (stats.max_radii2d > 20.0)
         prune = prune | (scale_max_new > 0.1 * extent)
     new_alive = new_alive & ~prune
 

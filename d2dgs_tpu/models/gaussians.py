@@ -28,7 +28,8 @@ from ..utils.sh import rgb_to_sh
 @partial(jax.tree_util.register_dataclass,
          data_fields=["xyz", "features_dc", "features_rest", "scaling",
                       "rotation", "opacity", "feature", "alive"],
-         meta_fields=["active_sh_degree", "max_sh_degree", "with_motion_mask"])
+         meta_fields=["active_sh_degree", "max_sh_degree", "with_motion_mask",
+                      "isotropic_shared_scale"])
 @dataclasses.dataclass(frozen=True)
 class GaussianParams:
     xyz: jnp.ndarray            # [C,3]
@@ -42,6 +43,9 @@ class GaussianParams:
     active_sh_degree: int
     max_sh_degree: int
     with_motion_mask: bool
+    # StandardGaussianModel(all_the_same=True): one shared isotropic scale,
+    # the (masked) mean of all log-scales (gaussian_model.py:489-497).
+    isotropic_shared_scale: bool = False
 
     # --- activated views (gaussian_model.py:98-127) ---
     @property
@@ -54,6 +58,11 @@ class GaussianParams:
 
     @property
     def get_scaling(self):
+        if self.isotropic_shared_scale:
+            w = self.alive.astype(self.scaling.dtype)[:, None]
+            mean = jnp.sum(self.scaling * w) / jnp.maximum(
+                jnp.sum(w) * self.scaling.shape[1], 1.0)
+            return jnp.exp(jnp.broadcast_to(mean, self.scaling.shape))
         return jnp.exp(self.scaling)
 
     @property
@@ -145,4 +154,5 @@ def create_from_pcd(points: np.ndarray, colors: np.ndarray, capacity: int,
         feature=feature,
         alive=jnp.zeros((capacity,), bool).at[:n].set(True),
         active_sh_degree=0, max_sh_degree=sh_degree,
-        with_motion_mask=with_motion_mask)
+        with_motion_mask=with_motion_mask,
+        isotropic_shared_scale=isotropic)

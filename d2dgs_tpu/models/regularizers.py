@@ -16,6 +16,11 @@ from ..ops.knn import knn
 from .nodes import NodeConfig, NodeParams, cal_nn_weight, node_deform
 
 
+def _safe_norm(x, axis=-1, eps=1e-20):
+    """||x|| with a finite gradient at 0 (jnp.linalg.norm NaNs there)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + eps)
+
+
 def landmark_interpolate(landmarks, steps, step, interpolation="log"):
     """Piecewise schedule used for loss weights (time_utils.py:485-503).
     Host-side (python floats)."""
@@ -130,8 +135,10 @@ def arap_loss(params: NodeParams, cfg: NodeConfig, key,
     nodes_t = jax.lax.stop_gradient(params.nodes[:, None, :3]) + d_xyz
     nodes_seq = jnp.swapaxes(nodes_t, 0, 1)                 # [T,M,3]
 
-    nn_idx, weight, _ = connectivity_from_points(nodes_seq[0], K=10)
-    # dead nodes: zero weight edges
+    # cal_arap_error is invoked WITHOUT the adaptive connectivity weights
+    # (time_utils.py:1086) — every surviving edge gets weight 1.
+    nn_idx, _, keep = connectivity_from_points(nodes_seq[0], K=10)
+    weight = keep.astype(jnp.float32)
     weight = weight * params.alive[nn_idx] * params.alive[:, None]
     if m > sample_num:
         sample_idx = jax.random.randint(k3, (sample_num,), 0, m)
@@ -161,7 +168,7 @@ def elastic_loss(params: NodeParams, cfg: NodeConfig, key,
                                          params.nodes[:, 3:], K=K + 1)
     nn_weight, nn_idx = nn_weight[:, 1:], nn_idx[:, 1:]   # drop self
 
-    edge_t = jnp.linalg.norm(nodes_t[nn_idx] - nodes_t[:, None], axis=-1)
+    edge_t = _safe_norm(nodes_t[nn_idx] - nodes_t[:, None])
     var = jnp.var(edge_t, axis=2, ddof=1)                  # [M,K]
     var = var / (jax.lax.stop_gradient(var) + 1e-5)
     per_node = jnp.sum(var * nn_weight, axis=1)
@@ -181,7 +188,6 @@ def acc_loss(params: NodeParams, cfg: NodeConfig, key,
     tt = jnp.broadcast_to(ts[None, :, None], (m, 3, 1))
     d_xyz = node_deform(params, cfg, tt)["d_xyz"]
     nodes_t = jax.lax.stop_gradient(params.nodes[:, None, :3]) + d_xyz
-    acc = jnp.linalg.norm(nodes_t[:, 0] + nodes_t[:, 2] - 2 * nodes_t[:, 1],
-                          axis=-1)
+    acc = _safe_norm(nodes_t[:, 0] + nodes_t[:, 2] - 2 * nodes_t[:, 1])
     acc = acc / (jax.lax.stop_gradient(acc) + 1e-5)
     return jnp.mean(jnp.where(params.alive, acc, 0.0))

@@ -47,6 +47,12 @@ def blend_tiles_xla(Tmat, center, normal, colors, opacity, depth,
 
     state0 = jax.vmap(lambda _: B.init_state(P))(jnp.arange(num_tiles))
 
+    # remat: without it, scan backward saves every chunk's [T,chunk,P]
+    # response/weight intermediates (tile_cap/chunk of them — gigabytes at
+    # 800x800).  Recompute them in the backward from the (small) carries,
+    # exactly like the CUDA backward re-walks the per-tile lists from
+    # saved final_T (backward.cu:142-449).
+    @jax.checkpoint
     def chunk_step(state, c):
         base = binning.tile_start + c * cfg.chunk          # [T]
         offs = base[:, None] + jnp.arange(cfg.chunk, dtype=jnp.int32)[None, :]

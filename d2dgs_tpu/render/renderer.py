@@ -57,7 +57,9 @@ def depth_to_normal(cam: Camera, depth: jnp.ndarray):
     dx = points[2:, 1:-1] - points[:-2, 1:-1]
     dy = points[1:-1, 2:] - points[1:-1, :-2]
     n = jnp.cross(dx, dy)
-    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+    # eps inside the sqrt: background pixels have exactly-zero normals and
+    # jnp.linalg.norm has a NaN gradient at 0
+    n = n / jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-20)
     normal = jnp.zeros_like(points)
     normal = normal.at[1:-1, 1:-1].set(n)
     return normal, points
@@ -80,7 +82,8 @@ def render(cam: Camera, params: GaussianParams, bg: jnp.ndarray,
         colors = override_color
     else:
         dirs = means3d - cam.cam_center[None, :]
-        dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+        dirs = dirs / jnp.sqrt(
+            jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-20)
         colors = sh_to_rgb(params.active_sh_degree, sh, dirs)
 
     prep = preprocess(means3d, scales, quats, cam, scaling_modifier)

@@ -1,0 +1,529 @@
+"""Two-stage trainer — the reference's GUI.train / train_node_rendering_step
+/ train_step (train_gui.py:132-599) as jitted pure steps + a thin host loop.
+
+TPU design:
+  * Each stage is ONE jitted function: deformation query, KNN skinning,
+    rasterizer forward+backward (XLA autodiff), regularizers, and all Adam
+    updates fuse into a single XLA program per stage.
+  * Iteration-dependent scalars (loss weights, LRs, warm-up gates) enter
+    as traced scalars — no recompilation across iterations.
+  * Densify/prune/opacity-reset are separate jitted functions invoked on
+    the reference's schedule by the host loop (static shapes throughout).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.cameras import Camera
+from ..models import densify as D
+from ..models import regularizers as R
+from ..models.gaussians import GaussianParams, create_from_pcd
+from ..models.nodes import (NodeConfig, NodeParams, cal_node_importance,
+                            densify_nodes, expand_time, init_node_params,
+                            init_nodes_from_pcl, node_deform, warp)
+from ..ops.ssim import l1, psnr, ssim
+from ..render.renderer import render
+from ..utils.general import farthest_point_sample, get_expon_lr_func
+from .config import TrainConfig
+from .optim import AdamState, adam_init, adam_update
+
+GAUSS_FIELDS = ("xyz", "features_dc", "features_rest", "scaling",
+                "rotation", "opacity", "feature")
+
+
+def gauss_trainable(p: GaussianParams) -> dict:
+    return {k: getattr(p, k) for k in GAUSS_FIELDS}
+
+
+def with_trainable(p: GaussianParams, t: dict) -> GaussianParams:
+    return dataclasses.replace(p, **t)
+
+
+def node_trainable(p: NodeParams) -> dict:
+    return {"nodes": p.nodes, "node_radius": p.node_radius,
+            "node_weight": p.node_weight}
+
+
+def with_node_trainable(p: NodeParams, t: dict, mlp: dict) -> NodeParams:
+    return dataclasses.replace(p, mlp=mlp, **t)
+
+
+class TrainState(NamedTuple):
+    gauss: GaussianParams
+    gauss_opt: AdamState
+    gauss_stats: D.DensifyStats
+    nodes: NodeParams
+    node_opt: AdamState     # over node_trainable dict
+    mlp_opt: AdamState      # over the deform MLP dict
+    ngauss: GaussianParams  # stage-1 isotropic node-Gaussians
+    ngauss_opt: AdamState
+    ngauss_stats: D.DensifyStats
+    key: jnp.ndarray
+
+
+def gauss_lr_tree(cfg: TrainConfig, xyz_lr) -> dict:
+    """Per-group LRs (gaussian_model.py training_setup:189-201)."""
+    return dict(
+        xyz=xyz_lr,
+        features_dc=cfg.feature_lr,
+        features_rest=cfg.feature_lr / 20.0,
+        scaling=cfg.scaling_lr * cfg.spatial_lr_scale,
+        rotation=cfg.rotation_lr,
+        opacity=cfg.opacity_lr,
+        feature=cfg.feature_lr,
+    )
+
+
+def make_schedules(cfg: TrainConfig):
+    xyz_sched = get_expon_lr_func(
+        lr_init=cfg.position_lr_init * cfg.spatial_lr_scale,
+        lr_final=cfg.position_lr_final * cfg.spatial_lr_scale,
+        lr_delay_mult=cfg.position_lr_delay_mult,
+        max_steps=cfg.position_lr_max_steps)
+    deform_sched = get_expon_lr_func(
+        lr_init=cfg.deform_lr_init, lr_final=cfg.deform_lr_final,
+        lr_delay_mult=cfg.position_lr_delay_mult,
+        max_steps=cfg.deform_lr_max_steps)
+    return xyz_sched, deform_sched
+
+
+def init_train_state(key, cfg: TrainConfig, init_points: np.ndarray,
+                     init_colors: np.ndarray) -> TrainState:
+    """Set up all model state from the scene's initial point cloud
+    (GUI.__init__, train_gui.py:147-170)."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0) if key is None
+                                  else key, 3)
+    gauss = create_from_pcd(init_points, init_colors, cfg.gaussian_capacity,
+                            sh_degree=cfg.sh_degree, fea_dim=cfg.hyper_dim,
+                            with_motion_mask=True)
+    nodes = init_node_params(k1, cfg.node_cfg)
+    nodes = init_nodes_from_pcl(nodes, cfg.node_cfg,
+                                jnp.asarray(init_points, jnp.float32), k2)
+    # stage-1 isotropic Gaussians on the node positions
+    # (init_gaussians, time_utils.py:1258-1266: sh_degree 0, colors zero)
+    node_xyz = np.asarray(nodes.nodes[:, :3])
+    ngauss = create_from_pcd(node_xyz, np.full_like(node_xyz, 0.5),
+                             cfg.node_gauss_capacity, sh_degree=0,
+                             fea_dim=0, with_motion_mask=False,
+                             isotropic=True)
+    return TrainState(
+        gauss=gauss, gauss_opt=adam_init(gauss_trainable(gauss)),
+        gauss_stats=D.init_stats(cfg.gaussian_capacity),
+        nodes=nodes, node_opt=adam_init(node_trainable(nodes)),
+        mlp_opt=adam_init(nodes.mlp),
+        ngauss=ngauss, ngauss_opt=adam_init(gauss_trainable(ngauss)),
+        ngauss_stats=D.init_stats(cfg.node_gauss_capacity),
+        key=k3)
+
+
+# ----------------------------------------------------------------------
+# Stage 1: node pre-training (train_node_rendering_step, train_gui.py:441-599)
+# ----------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def node_stage_step(state: TrainState, cam: Camera, gt: jnp.ndarray,
+                    cfg: TrainConfig, sched: dict):
+    """sched: dict of traced scalars {warm (0/1 — before node_warm_up),
+    reg_on (0/1), deform_lr, xyz_lr, time_interval}."""
+    key, k_arap, k_el, k_acc = jax.random.split(state.key, 4)
+    bg = jnp.where(cfg.white_background, 1.0, 0.0) * jnp.ones(3)
+
+    def loss_fn(ng_train, mlp, node_train, probe):
+        ngauss = with_trainable(state.ngauss, ng_train)
+        nodes = with_node_trainable(state.nodes, node_train, mlp)
+        m = ngauss.xyz.shape[0]
+        t = jnp.broadcast_to(cam.time.reshape(1, 1), (m, 1))
+        from ..models.deform_mlp import mlp_forward
+        d = mlp_forward(mlp, cfg.node_cfg.mlp,
+                        jax.lax.stop_gradient(ngauss.xyz), t)
+        d_xyz = d["d_xyz"] * ngauss.motion_mask
+        # before node_warm_up the warp is detached (train_gui.py:482-483)
+        w = sched["warm"]
+        d_xyz = jax.lax.stop_gradient(d_xyz) * w + d_xyz * (1.0 - w)
+
+        out = render(cam, ngauss, bg, d_xyz=d_xyz, screen_probe=probe,
+                     cfg=cfg.raster)
+        ll1 = l1(out.image, gt)
+        loss = ((1.0 - cfg.lambda_dssim) * ll1
+                + cfg.lambda_dssim * (1.0 - ssim(out.image, gt)))
+        reg = (cfg.lambda_elastic * R.elastic_loss(
+                   nodes, cfg.node_cfg, k_el, t=cam.time,
+                   delta_t=sched["time_interval"])
+               + cfg.lambda_acc * R.acc_loss(
+                   nodes, cfg.node_cfg, k_acc, t=cam.time,
+                   delta_t=3.0 * sched["time_interval"]))
+        if not cfg.no_arap_loss:
+            reg = reg + cfg.lambda_node_arap * R.arap_loss(
+                nodes, cfg.node_cfg, k_arap)
+        loss = loss + sched["reg_on"] * reg
+        return loss, (out, ll1)
+
+    grads, (out, ll1) = jax.grad(loss_fn, argnums=(0, 1, 2, 3),
+                                 has_aux=True)(
+        gauss_trainable(state.ngauss), state.nodes.mlp,
+        node_trainable(state.nodes),
+        jnp.zeros((state.ngauss.xyz.shape[0], 2)))
+    g_ng, g_mlp, g_node, g_probe = grads
+
+    ng_train, ngauss_opt = adam_update(
+        g_ng, state.ngauss_opt, gauss_trainable(state.ngauss),
+        gauss_lr_tree(cfg, sched["xyz_lr"]))
+    mlp_p, mlp_opt = adam_update(
+        g_mlp, state.mlp_opt, state.nodes.mlp,
+        jax.tree.map(lambda _: sched["deform_lr"], state.nodes.mlp))
+    node_train, node_opt = adam_update(
+        g_node, state.node_opt, node_trainable(state.nodes),
+        jax.tree.map(lambda _: jnp.asarray(cfg.deform_lr_init),
+                     node_trainable(state.nodes)))
+
+    stats = D.add_stats(state.ngauss_stats, g_probe, out.visibility,
+                        out.radii.astype(jnp.float32))
+    new_state = state._replace(
+        ngauss=with_trainable(state.ngauss, ng_train), ngauss_opt=ngauss_opt,
+        nodes=with_node_trainable(state.nodes, node_train, mlp_p),
+        node_opt=node_opt, mlp_opt=mlp_opt, ngauss_stats=stats, key=key)
+    metrics = dict(loss=ll1, psnr=psnr(out.image, gt),
+                   num_pairs=out.num_pairs)
+    return new_state, metrics
+
+
+# ----------------------------------------------------------------------
+# Stage 2: main training (train_step, train_gui.py:215-438)
+# ----------------------------------------------------------------------
+
+def photometric_loss(gauss: GaussianParams, nodes: NodeParams, cam: Camera,
+                     gt: jnp.ndarray, probe, cfg: TrainConfig, sched: dict,
+                     bg: jnp.ndarray):
+    """Per-camera photometric + geometric losses of the main stage
+    (train_gui.py:286-313): deform at cam.time, render, L1+D-SSIM,
+    normal-consistency and distortion terms.  Shared by the single-camera
+    step below and the batched data-parallel step (parallel/).
+    Returns (loss, (RenderOutput, l1))."""
+    d = warp(nodes, cfg.node_cfg, gauss.xyz, cam.time,
+             feature=gauss.feature, motion_mask=gauss.motion_mask)
+    w = sched["warm"]
+
+    def gate(x):
+        return (None if x is None
+                else jax.lax.stop_gradient(x) * w + x * (1.0 - w))
+
+    out = render(cam, gauss, bg, d_xyz=gate(d["d_xyz"]),
+                 d_rotation=gate(d["d_rotation"]),
+                 d_scaling=gate(d["d_scaling"]),
+                 d_opacity=gate(d["d_opacity"]),
+                 d_color=gate(d["d_color"]),
+                 screen_probe=probe, cfg=cfg.raster)
+    ll1 = l1(out.image, gt)
+    loss = ((1.0 - cfg.lambda_dssim) * ll1
+            + cfg.lambda_dssim * (1.0 - ssim(out.image, gt)))
+    # normal consistency + distortion (train_gui.py:292-299)
+    normal_err = 1.0 - jnp.sum(out.rend_normal * out.surf_normal, axis=-1)
+    loss = loss + sched["lambda_normal"] * jnp.mean(normal_err)
+    loss = loss + sched["lambda_dist"] * jnp.mean(out.rend_dist)
+    return loss, (out, ll1)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def main_stage_step(state: TrainState, cam: Camera, gt: jnp.ndarray,
+                    cfg: TrainConfig, sched: dict):
+    """sched scalars: warm (0/1 — iter < warm_up), lambda_normal,
+    lambda_dist, lambda_arap, deform_lr, xyz_lr."""
+    key, k_arap = jax.random.split(state.key)
+    bg = jnp.where(cfg.white_background, 1.0, 0.0) * jnp.ones(3)
+
+    def loss_fn(g_train, mlp, node_train, probe):
+        gauss = with_trainable(state.gauss, g_train)
+        nodes = with_node_trainable(state.nodes, node_train, mlp)
+        loss, (out, ll1) = photometric_loss(gauss, nodes, cam, gt, probe,
+                                            cfg, sched, bg)
+        # deform ARAP reg (time_utils.py:1228-1232), gated by warm-up
+        loss = loss + (1.0 - sched["warm"]) * sched["lambda_arap"] * \
+            R.arap_loss(nodes, cfg.node_cfg, k_arap)
+        return loss, (out, ll1)
+
+    grads, (out, ll1) = jax.grad(loss_fn, argnums=(0, 1, 2, 3),
+                                 has_aux=True)(
+        gauss_trainable(state.gauss), state.nodes.mlp,
+        node_trainable(state.nodes),
+        jnp.zeros((state.gauss.xyz.shape[0], 2)))
+    g_g, g_mlp, g_node, g_probe = grads
+
+    g_train, gauss_opt = adam_update(
+        g_g, state.gauss_opt, gauss_trainable(state.gauss),
+        gauss_lr_tree(cfg, sched["xyz_lr"]))
+    mlp_p, mlp_opt = adam_update(
+        g_mlp, state.mlp_opt, state.nodes.mlp,
+        jax.tree.map(lambda _: sched["deform_lr"], state.nodes.mlp))
+    node_train, node_opt = adam_update(
+        g_node, state.node_opt, node_trainable(state.nodes),
+        jax.tree.map(lambda _: jnp.asarray(cfg.deform_lr_init),
+                     node_trainable(state.nodes)))
+
+    stats = D.add_stats(state.gauss_stats, g_probe, out.visibility,
+                        out.radii.astype(jnp.float32))
+    new_state = state._replace(
+        gauss=with_trainable(state.gauss, g_train), gauss_opt=gauss_opt,
+        nodes=with_node_trainable(state.nodes, node_train, mlp_p),
+        node_opt=node_opt, mlp_opt=mlp_opt, gauss_stats=stats, key=key)
+    metrics = dict(loss=ll1, psnr=psnr(out.image, gt),
+                   num_pairs=out.num_pairs,
+                   alive=state.gauss.num_alive)
+    return new_state, metrics
+
+
+# ----------------------------------------------------------------------
+# Densify / maintenance wrappers
+# ----------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "which", "prune_big_ws"))
+def densify_step(state: TrainState, cfg: TrainConfig, which: str,
+                 extent, min_opacity, prune_big_ws: bool, grad_max):
+    key, k = jax.random.split(state.key)
+    if which == "main":
+        p, opt, stats = state.gauss, state.gauss_opt, state.gauss_stats
+    else:
+        p, opt, stats = state.ngauss, state.ngauss_opt, state.ngauss_stats
+    p2, mu, nu, stats2, info = D.densify_and_prune(
+        p, opt.mu, opt.nu, stats, k, grad_max, min_opacity, extent,
+        prune_big_ws, percent_dense=cfg.percent_dense)
+    opt2 = AdamState(mu=mu, nu=nu, count=opt.count)
+    if which == "main":
+        return state._replace(gauss=p2, gauss_opt=opt2, gauss_stats=stats2,
+                              key=key), info
+    return state._replace(ngauss=p2, ngauss_opt=opt2, ngauss_stats=stats2,
+                          key=key), info
+
+
+@partial(jax.jit, static_argnames=("which",))
+def reset_opacity_step(state: TrainState, which: str = "main"):
+    if which == "main":
+        p, opt = state.gauss, state.gauss_opt
+        min_op = 0.01
+    else:
+        p, opt = state.ngauss, state.ngauss_opt
+        min_op = 0.01
+    p2, mu, nu = D.reset_opacity(p, opt.mu, opt.nu, ceiling=min_op)
+    opt2 = AdamState(mu=mu, nu=nu, count=opt.count)
+    if which == "main":
+        return state._replace(gauss=p2, gauss_opt=opt2)
+    return state._replace(ngauss=p2, ngauss_opt=opt2)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def node_downsample_step(state: TrainState, cfg: TrainConfig):
+    """Stage-1 'samp_hyper' downsampling (train_gui.py:556-583): sample 16
+    timestamps, FPS in hyper-trajectory space, rebuild nodes + node-Gaussians
+    from the selected subset."""
+    key, k_fps = jax.random.split(state.key)
+    ng = state.ngauss
+    m_cap = ng.xyz.shape[0]
+    node_num = cfg.node_num
+    t_samp = jnp.linspace(0.0, 1.0, 16)
+    x = jax.lax.stop_gradient(ng.xyz)
+
+    from ..models.deform_mlp import mlp_forward
+    tt = jnp.broadcast_to(t_samp[None, :, None], (m_cap, 16, 1))
+    xx = jnp.broadcast_to(x[:, None, :], (m_cap, 16, 3))
+    d_xyz = mlp_forward(state.nodes.mlp, cfg.node_cfg.mlp, xx, tt)["d_xyz"]
+    d_xyz = d_xyz * ng.motion_mask[:, None, :]
+    hyper_pcl = (d_xyz + x[:, None, :]).reshape(m_cap, -1)
+    idx = farthest_point_sample(k_fps, hyper_pcl, node_num, mask=ng.alive)
+
+    sel_xyz = x[idx]
+    scene_range = (jnp.max(jnp.where(ng.alive[:, None], x, -jnp.inf))
+                   - jnp.min(jnp.where(ng.alive[:, None], x, jnp.inf)))
+    nodes = jnp.concatenate(
+        [sel_xyz, 1e-2 * jnp.ones((node_num, cfg.hyper_dim))], axis=-1)
+    new_nodes = dataclasses.replace(
+        state.nodes, nodes=nodes,
+        node_radius=jnp.log(0.1 * scene_range + 1e-7) * jnp.ones(node_num),
+        node_weight=jnp.zeros((node_num, 1)),
+        alive=jnp.ones((node_num,), bool))
+
+    # shrink node-Gaussians to the selected subset (attrs copied at idx).
+    # Dead slots keep an identity quaternion — all-zero rows make
+    # normalize/rotmat emit NaNs that poison live grads through 0*NaN.
+    def take(a, fill=0.0):
+        out = jnp.full((m_cap,) + a.shape[1:], fill, a.dtype)
+        return out.at[:node_num].set(a[idx])
+
+    rot_fill = jnp.zeros((m_cap, 4)).at[:, 0].set(1.0)
+    new_ng = dataclasses.replace(
+        ng, xyz=take(ng.xyz), features_dc=take(ng.features_dc),
+        features_rest=take(ng.features_rest), scaling=take(ng.scaling),
+        rotation=rot_fill.at[:node_num].set(ng.rotation[idx]),
+        opacity=take(ng.opacity),
+        feature=take(ng.feature),
+        alive=jnp.zeros((m_cap,), bool).at[:node_num].set(True))
+
+    return state._replace(
+        nodes=new_nodes, ngauss=new_ng,
+        node_opt=adam_init(node_trainable(new_nodes)),
+        ngauss_opt=adam_init(gauss_trainable(new_ng)),
+        ngauss_stats=D.init_stats(m_cap), key=key)
+
+
+@jax.jit
+def adopt_node_positions(state: TrainState):
+    """End of stage 1: nodes.xyz <- node-Gaussian positions
+    (train_gui.py:581-583)."""
+    node_num = state.nodes.nodes.shape[0]
+    nodes = state.nodes.nodes.at[:, :3].set(state.ngauss.xyz[:node_num])
+    return state._replace(nodes=dataclasses.replace(state.nodes,
+                                                    nodes=nodes))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def node_densify_step(state: TrainState, cfg: TrainConfig, grad_max):
+    """Node densify/prune by Gaussian-importance voting (force-run at
+    node_force_densify_prune_step; train_gui.py:413-415)."""
+    g = jnp.where(state.gauss_stats.denom > 0,
+                  state.gauss_stats.grad_accum / state.gauss_stats.denom,
+                  0.0)
+    nodes, mu, nu, info = densify_nodes(
+        state.nodes, cfg.node_cfg, state.node_opt.mu, state.node_opt.nu,
+        state.gauss.xyz, g[:, None], state.gauss.feature,
+        grad_max, state.gauss.alive)
+    return state._replace(
+        nodes=nodes,
+        node_opt=AdamState(mu=mu, nu=nu, count=state.node_opt.count)), info
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def oneup_sh(state: TrainState, cfg: TrainConfig):
+    return state._replace(gauss=state.gauss.oneup_sh_degree())
+
+
+# ----------------------------------------------------------------------
+# Host-side training loop
+# ----------------------------------------------------------------------
+
+class Trainer:
+    """Host orchestration: camera sampling, schedules, stage transitions."""
+
+    def __init__(self, cfg: TrainConfig, cameras, images,
+                 init_points, init_colors, cameras_extent: float = 5.0,
+                 seed: int = 0, log_fn=None):
+        """cameras: list[Camera]; images: list of [H,W,3] float arrays."""
+        self.cfg = cfg
+        self.cameras = cameras
+        self.images = [jnp.asarray(im, jnp.float32) for im in images]
+        self.extent = float(cameras_extent)
+        self.state = init_train_state(jax.random.PRNGKey(seed), cfg,
+                                      init_points, init_colors)
+        self.xyz_sched, self.deform_sched = make_schedules(cfg)
+        self.iteration = 1
+        self.iteration_node = 1
+        self.rng = np.random.RandomState(seed)
+        self._stack = []
+        self.log_fn = log_fn or (lambda *a, **k: None)
+        self.time_interval = 1.0 / max(len(cameras), 1)
+
+    def _pick_camera(self):
+        if not self._stack:
+            self._stack = list(range(len(self.cameras)))
+        i = self._stack.pop(self.rng.randint(len(self._stack)))
+        return self.cameras[i], self.images[i]
+
+    # --- stage 1 ---
+    def node_stage_iteration(self):
+        cfg = self.cfg
+        it = self.iteration_node
+        cam, gt = self._pick_camera()
+        sched = dict(
+            warm=jnp.float32(1.0 if it < cfg.node_warm_up else 0.0),
+            reg_on=jnp.float32(1.0 if it > cfg.node_warm_up else 0.0),
+            deform_lr=self.deform_sched(it),
+            xyz_lr=self.xyz_sched(it),
+            time_interval=jnp.float32(self.time_interval),
+        )
+        # at the sampling/downsample boundary no optimizer step is taken
+        # (train_gui.py:584-591); we simply skip the train step there.
+        if it != cfg.iterations_node_sampling:
+            self.state, metrics = node_stage_step(self.state, cam, gt,
+                                                  cfg, sched)
+        else:
+            metrics = {}
+
+        if it < cfg.iterations_node_sampling:
+            if (it % cfg.densification_interval == 0
+                    or it == cfg.node_warm_up - 1):
+                prune_big = it > cfg.opacity_reset_interval
+                self.state, info = densify_step(
+                    self.state, cfg, "node", self.extent, 0.005,
+                    prune_big, cfg.densify_grad_threshold)
+            if (it % cfg.opacity_reset_interval == 0
+                    or (cfg.white_background and it == cfg.densify_from_iter)):
+                self.state = reset_opacity_step(self.state, "node")
+        elif it == cfg.iterations_node_sampling:
+            self.state = node_downsample_step(self.state, cfg)
+        if it == cfg.iterations_node_rendering - 1:
+            self.state = adopt_node_positions(self.state)
+        self.iteration_node += 1
+        return metrics
+
+    # --- stage 2 ---
+    def main_iteration(self):
+        cfg = self.cfg
+        it = self.iteration
+        if it % cfg.oneup_sh_degree_step == 0:
+            self.state = oneup_sh(self.state, cfg)
+        cam, gt = self._pick_camera()
+        lam_arap = R.landmark_interpolate(
+            *cfg.node_cfg.lambda_arap_schedule, step=max(0, it))
+        sched = dict(
+            warm=jnp.float32(1.0 if it < cfg.warm_up else 0.0),
+            lambda_normal=jnp.float32(
+                cfg.lambda_normal if it > cfg.normal_dist_from_iter else 0.0),
+            lambda_dist=jnp.float32(
+                cfg.lambda_dist if it > cfg.normal_dist_from_iter else 0.0),
+            lambda_arap=jnp.float32(lam_arap),
+            deform_lr=self.deform_sched(it),
+            xyz_lr=self.xyz_sched(it),
+        )
+        self.state, metrics = main_stage_step(self.state, cam, gt, cfg,
+                                              sched)
+
+        if it < cfg.densify_until_iter:
+            if (it == cfg.node_force_densify_prune_step
+                    or (cfg.node_enable_densify_prune
+                        and it > cfg.node_densify_from_iter
+                        and it % cfg.node_densification_interval == 0
+                        and it < cfg.node_densify_until_iter
+                        and it > cfg.warm_up)):
+                self.state, _ = node_densify_step(
+                    self.state, cfg, cfg.densify_grad_threshold)
+            if (it > cfg.densify_from_iter
+                    and it % cfg.densification_interval == 0):
+                prune_big = it > cfg.opacity_reset_interval
+                self.state, info = densify_step(
+                    self.state, cfg, "main", self.extent, 0.01,
+                    prune_big, cfg.densify_grad_threshold)
+            if (it % cfg.opacity_reset_interval == 0
+                    or (cfg.white_background and it == cfg.densify_from_iter)):
+                self.state = reset_opacity_step(self.state, "main")
+        self.iteration += 1
+        return metrics
+
+    def step(self):
+        if self.iteration_node < self.cfg.iterations_node_rendering:
+            return self.node_stage_iteration()
+        return self.main_iteration()
+
+    def train(self, num_iters: int | None = None, log_every: int = 100):
+        total = num_iters if num_iters is not None else (
+            self.cfg.iterations + self.cfg.iterations_node_rendering)
+        for _ in range(total):
+            m = self.step()
+            tick = self.iteration_node + self.iteration
+            if m and tick % log_every == 0:
+                self.log_fn(dict({k: float(v) for k, v in m.items()},
+                                 iter=self.iteration,
+                                 iter_node=self.iteration_node))
+        return self.state

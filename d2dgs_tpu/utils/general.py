@@ -37,20 +37,30 @@ def get_expon_lr_func(lr_init: float, lr_final: float,
     return helper
 
 
-def farthest_point_sample(key, points: jnp.ndarray, n_sample: int) -> jnp.ndarray:
+def farthest_point_sample(key, points: jnp.ndarray, n_sample: int,
+                          mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """FPS over [N, D] points -> [n_sample] indices (time_utils.py:461-482).
 
     Greedy max-min sampling with a random start; jit-safe via fori_loop.
+    mask: optional [N] bool — excluded points are never selected.
     """
     n = points.shape[0]
-    start = jax.random.randint(key, (), 0, n)
+    if mask is None:
+        start = jax.random.randint(key, (), 0, n)
+        excluded = None
+    else:
+        # random start among included points
+        logits = jnp.where(mask, 0.0, -jnp.inf)
+        start = jax.random.categorical(key, logits)
+        excluded = ~mask
 
     def body(i, carry):
         dist, idxs = carry
         last = idxs[i - 1]
         d = jnp.sum((points - points[last]) ** 2, axis=-1)
         dist = jnp.minimum(dist, d)
-        idxs = idxs.at[i].set(jnp.argmax(dist))
+        pick = dist if excluded is None else jnp.where(excluded, -1.0, dist)
+        idxs = idxs.at[i].set(jnp.argmax(pick).astype(jnp.int32))
         return dist, idxs
 
     dist0 = jnp.full((n,), jnp.inf, dtype=points.dtype)

@@ -21,8 +21,12 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
     Normalizes internally (rsqrt of squared norm, like auxiliary.h:190).
     Returned matrix uses standard row-major math convention:
     columns are the rotated basis vectors.
+
+    eps keeps the all-zero quaternions of dead capacity slots finite
+    (forward NaNs there poison gradients of live parameters via 0*NaN;
+    the CUDA reference never sees zero quats because it has no padding).
     """
-    q = quat_normalize(q)
+    q = quat_normalize(q, eps=1e-12)
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     r00 = 1.0 - 2.0 * (y * y + z * z)
     r01 = 2.0 * (x * y - w * z)

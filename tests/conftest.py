@@ -1,10 +1,14 @@
 """Test config: run everything on CPU with 8 virtual devices so sharding
-logic is exercised without TPU hardware (SURVEY.md §4)."""
+logic is exercised without TPU hardware (SURVEY.md §4).
+
+NOTE: the jaxtyping pytest plugin imports jax BEFORE conftest runs, so
+setting JAX_PLATFORMS via os.environ here is too late (the env default is
+captured at jax import).  jax.config.update works until the backend is
+actually initialized, so we force the platform through the config API.
+"""
 import os
 
-# Force CPU: the session env pins JAX_PLATFORMS=axon (remote TPU tunnel),
-# which is wrong for unit tests — they exercise sharding on virtual devices.
-os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,4 +16,13 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
+# XLA compiles are very slow on small CI hosts; cache them across runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert len(jax.devices()) == 8, jax.devices()
