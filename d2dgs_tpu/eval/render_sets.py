@@ -1,0 +1,73 @@
+"""Test-set rendering + metrics — the render.py:render_set equivalent
+(render.py:33-90): render every camera of a split at its timestamp,
+save rgb/depth images, aggregate PSNR/SSIM/MS-SSIM(/LPIPS) into a dict
+(metrics.py:92-95 writes results.json).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.nodes import warp
+from ..render.renderer import render
+from .metrics import evaluate_image_metrics
+
+
+def _save_png(path, img):
+    from PIL import Image
+    arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def render_test_set(samples, gauss, nodes, node_cfg, raster_cfg,
+                    out_dir: str | None = None, bg=None,
+                    lpips_weights: str | None = None,
+                    save_images: bool = True) -> dict:
+    """samples: list of data.dnerf.CameraSample (or (camera, gt) pairs).
+    Returns {"per_view": [...], "mean": {...}}."""
+    if bg is None:
+        bg = jnp.zeros((3,), jnp.float32)
+
+    @jax.jit
+    def render_view(cam):
+        d = warp(nodes, node_cfg, gauss.xyz, cam.time,
+                 feature=gauss.feature, motion_mask=gauss.motion_mask)
+        out = render(cam, gauss, bg, d_xyz=d["d_xyz"],
+                     d_rotation=d["d_rotation"], d_scaling=d["d_scaling"],
+                     cfg=raster_cfg)
+        return out.image, out.depth
+
+    if out_dir and save_images:
+        os.makedirs(os.path.join(out_dir, "renders"), exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "gt"), exist_ok=True)
+
+    per_view = []
+    for i, s in enumerate(samples):
+        if hasattr(s, "camera"):
+            cam, gt = s.camera, jnp.asarray(s.gt(np.asarray(bg)))
+        else:
+            cam, gt = s[0], jnp.asarray(s[1])
+        img, depth = render_view(cam)
+        m = evaluate_image_metrics(img, gt, lpips_weights)
+        m["view"] = i
+        per_view.append(m)
+        if out_dir and save_images:
+            _save_png(os.path.join(out_dir, "renders", f"{i:05d}.png"), img)
+            _save_png(os.path.join(out_dir, "gt", f"{i:05d}.png"), gt)
+            dmax = float(jnp.max(depth)) or 1.0
+            _save_png(os.path.join(out_dir, "depth", f"{i:05d}.png"),
+                      jnp.broadcast_to(depth / dmax, depth.shape[:2] + (3,)))
+
+    keys = [k for k in per_view[0] if k != "view"]
+    mean = {k: float(np.mean([v[k] for v in per_view])) for k in keys}
+    result = {"per_view": per_view, "mean": mean}
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "results.json"), "w") as f:
+            json.dump(result, f, indent=2)
+    return result

@@ -125,9 +125,13 @@ def mlp_forward(params: dict, cfg: MLPConfig, x: jnp.ndarray,
     inp = jnp.concatenate([x_emb, t_emb], axis=-1)
 
     h = inp
+    depth = len(params["layers"])
     for i, layer in enumerate(params["layers"]):
         h = jax.nn.relu(h @ layer["w"] + layer["b"])
-        if i == cfg.skip:
+        # the concat feeds the NEXT layer (time_utils.py:432-436); when the
+        # skip index is the final layer (tiny test depths) it has no
+        # consumer and would widen the head input
+        if i == cfg.skip and i + 1 < depth:
             h = jnp.concatenate([inp, h], axis=-1)
 
     def apply(name):

@@ -37,6 +37,10 @@ class NodeConfig:
     with_node_weight: bool = True
     with_arap_loss: bool = False
     is_scene_static: bool = False
+    # "lbs": linear blend of per-node local-frame transforms (reference
+    # default, time_utils.py:1148-1154); "dqb": dual-quaternion blend
+    # (BASELINE.json's LBS-style DQ skinning option, SURVEY.md §2d)
+    skinning: str = "lbs"
     mlp: MLPConfig = MLPConfig()
 
     @property
@@ -173,7 +177,20 @@ def warp(params: NodeParams, cfg: NodeConfig, x: jnp.ndarray, t,
     def blend(v):  # [M,C] -> [N,C]
         return jnp.sum(v[nn_idx] * nn_weight[..., None], axis=1)
 
-    if cfg.mlp.local_frame:
+    if cfg.mlp.local_frame and cfg.skinning == "dqb":
+        # dual-quaternion blend of the per-node rigid transforms
+        # A_k(x) = R_k (x - p_k) + p_k + tr_k  =>  (R_k, p_k + tr_k - R_k p_k)
+        from ..utils.dual_quaternion import dq_blend, quat_apply
+        from ..utils.quaternion import quat_normalize
+        local_rot = quat_normalize(attrs["local_rotation"] + ROT_BIAS,
+                                   eps=1e-12)
+        nn_nodes = jax.lax.stop_gradient(params.nodes[nn_idx, :3])
+        qk = local_rot[nn_idx]                            # [N,K,4]
+        tk = (nn_nodes + node_trans[nn_idx]
+              - quat_apply(qk, nn_nodes))                 # [N,K,3]
+        qb, tb = dq_blend(qk, tk, nn_weight)
+        translate = quat_apply(qb, x) + tb - x
+    elif cfg.mlp.local_frame:
         from ..utils.quaternion import quat_to_rotmat
         local_rot = attrs["local_rotation"] + ROT_BIAS
         Rl = quat_to_rotmat(local_rot)                    # [M,3,3]
