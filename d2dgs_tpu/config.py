@@ -54,3 +54,6 @@ class RasterConfig:
     tile_cap: int = 4096
     depth_ratio: float = 1.0  # 1 => median ("surf") depth, 0 => expected
     use_pallas: bool = True   # Pallas blend kernels vs pure-XLA fallback
+    # Run the Pallas kernels in interpreter mode on non-TPU backends
+    # (tests); when False, non-TPU backends use the XLA path instead.
+    pallas_interpret: bool = False

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..config import FILTER_SIZE, NEAR_PLANE, TILE, TRUNCATED_R
@@ -48,8 +49,12 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
     p_view = means3d @ Rw.T + tw                       # [N,3]
     in_front = p_view[:, 2] > NEAR_PLANE
 
+    # geometry einsums pinned to f32: at default (bf16 MXU) precision the
+    # splat->screen transforms wobble enough to flip median-depth /
+    # termination branch selections downstream
+    hi = jax.lax.Precision.HIGHEST
     R = quat_to_rotmat(quats)                          # [N,3,3]
-    WR = jnp.einsum("ij,njk->nik", Rw, R)              # rotate into camera
+    WR = jnp.einsum("ij,njk->nik", Rw, R, precision=hi)
     s = scales * scale_modifier
     M0 = WR[:, :, 0] * s[:, 0:1]                       # [N,3] tangent axis u
     M1 = WR[:, :, 1] * s[:, 1:2]                       # tangent axis v
@@ -62,7 +67,7 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
 
     # splat-to-screen homogeneous transform: rows (Tu, Tv, Tw)
     Smat = jnp.stack([M0, M1, p_view], axis=-1)        # [N,3,3] columns
-    T = jnp.einsum("ij,njk->nik", cam.K, Smat)         # [N,3,3]
+    T = jnp.einsum("ij,njk->nik", cam.K, Smat, precision=hi)
     Tu, Tv, Tw = T[:, 0, :], T[:, 1, :], T[:, 2, :]
 
     # AABB from T (forward.cu:133-163)

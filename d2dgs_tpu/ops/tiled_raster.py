@@ -82,6 +82,42 @@ def blend_tiles_xla(Tmat, center, normal, colors, opacity, depth,
     return color, allmap, state
 
 
+def blend_tiles(Tmat, center, normal, colors, opacity, binning: Binning,
+                grid_x: int, grid_y: int, cfg: RasterConfig):
+    """Backend dispatch: Pallas TPU kernel or pure-XLA oracle.
+
+    Returns (tile_color [T,P,3], tile_allmap [T,P,8]).
+    """
+    from .pallas.blend_tpu import (NFEAT, _is_tpu, blend_tiles_pallas,
+                                   build_gdata)
+    if (cfg.use_pallas and cfg.tile_cap % 128 == 0
+            and (_is_tpu() or cfg.pallas_interpret)):
+        n = Tmat.shape[0]
+        feats = jnp.concatenate(
+            [Tmat.reshape(n, 9), center, normal, colors, opacity[:, None]],
+            axis=-1)
+        assert feats.shape[-1] == NFEAT
+        num_tiles = grid_x * grid_y
+        gdata, counts = build_gdata(feats, binning, num_tiles, cfg)
+        out = blend_tiles_pallas(gdata, counts, num_tiles, grid_x,
+                                 cfg.tile_cap // 128)
+        st = jnp.swapaxes(out, 1, 2)                    # [T, PIX, NSTATE]
+        tile_color = st[..., 4:7]
+        tile_allmap = jnp.concatenate([
+            st[..., 7:8],                # expected-depth accumulator
+            1.0 - st[..., 0:1],          # alpha = 1 - T_final
+            st[..., 8:11],               # camera-frame normal
+            st[..., 12:13],              # median depth
+            st[..., 11:12],              # distortion
+            st[..., 13:14],              # median weight
+        ], axis=-1)
+        return tile_color, tile_allmap
+    tile_color, tile_allmap, _ = blend_tiles_xla(
+        Tmat, center, normal, colors, opacity, None, binning,
+        grid_x, grid_y, cfg)
+    return tile_color, tile_allmap
+
+
 def tiles_to_image(tile_img: jnp.ndarray, grid_x: int, grid_y: int,
                    H: int, W: int) -> jnp.ndarray:
     """[T, TILE*TILE, C] -> [H, W, C] (cropping tile padding)."""
@@ -106,8 +142,8 @@ def rasterize_tiled(means3d, scales, quats, opacities, colors, cam: Camera,
     prep = preprocess(means3d, scales, quats, cam, scale_modifier)
     binning = bin_gaussians(prep, gx, gy, cfg)
     opac = jnp.where(prep.valid, opacities, 0.0)
-    tile_color, tile_allmap, state = blend_tiles_xla(
-        prep.T, prep.center, prep.normal, colors, opac, prep.depth,
+    tile_color, tile_allmap = blend_tiles(
+        prep.T, prep.center, prep.normal, colors, opac,
         binning, gx, gy, cfg)
     # bg composite: color tiles already include nothing for bg; add T*bg
     Tfinal = 1.0 - tile_allmap[..., 1:2]

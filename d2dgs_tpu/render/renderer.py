@@ -25,7 +25,7 @@ from ..models.gaussians import GaussianParams, apply_deform
 from ..ops import blend as B
 from ..ops.binning import bin_gaussians
 from ..ops.projection import preprocess, tile_grid
-from ..ops.tiled_raster import blend_tiles_xla, tiles_to_image
+from ..ops.tiled_raster import blend_tiles, tiles_to_image
 from ..utils.sh import sh_to_rgb
 
 
@@ -101,8 +101,8 @@ def render(cam: Camera, params: GaussianParams, bg: jnp.ndarray,
 
     binning = bin_gaussians(prep, gx, gy, cfg)
     opac = jnp.where(prep.valid, opacity, 0.0)
-    tile_color, tile_allmap, _ = blend_tiles_xla(
-        Tmat, prep.center, prep.normal, colors, opac, prep.depth,
+    tile_color, tile_allmap = blend_tiles(
+        Tmat, prep.center, prep.normal, colors, opac,
         binning, gx, gy, cfg)
     Tfinal = 1.0 - tile_allmap[..., 1:2]
     tile_color = tile_color + Tfinal * bg[None, None, :]
