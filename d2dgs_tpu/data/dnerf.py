@@ -128,8 +128,33 @@ def load_blender_scene(path: str, eval_split: bool = True,
 
 def load_scene(path: str, **kw) -> SceneInfo:
     """Dataset-type sniffing by sentinel file (scene/__init__.py:45-66).
-    Currently: Blender/D-NeRF (transforms_train.json).  COLMAP/DTU/
-    Nerfies/Plenoptic readers follow the same SceneInfo contract."""
-    if os.path.exists(os.path.join(path, "transforms_train.json")):
+    All readers share the SceneInfo contract."""
+    exists = lambda *p: os.path.exists(os.path.join(path, *p))  # noqa: E731
+    if exists("sparse") or exists("colmap_sparse"):
+        from .colmap import load_colmap_scene
+        return load_colmap_scene(path, **kw)
+    if exists("transforms_train.json"):
         return load_blender_scene(path, **kw)
+    if exists("cameras_sphere.npz"):
+        from .dtu import load_dtu_scene
+        return load_dtu_scene(path, **kw)
+    if exists("dataset.json"):
+        from .nerfies import load_nerfies_scene
+        return load_nerfies_scene(path, **kw)
+    if exists("poses_bounds.npy"):
+        from .plenoptic import load_plenoptic_scene
+        return load_plenoptic_scene(path, **kw)
+    if exists("transforms.json"):  # Dynamic-360 (single transforms file)
+        train = read_transforms(path, "transforms.json")
+        rng = np.random.RandomState(kw.get("seed", 0))
+        n = kw.get("num_init_points", 100_000)
+        pts = rng.random((n, 3)) * 2.6 - 1.3
+        cols = 0.5 + 0.28209479177387814 * rng.random((n, 3)) / 255
+        return SceneInfo(train_cameras=train, test_cameras=[],
+                         nerf_norm=get_nerfpp_norm(train),
+                         init_points=pts.astype(np.float32),
+                         init_colors=cols.astype(np.float32))
+    if exists("train_meta.json"):
+        from .cmu import load_cmu_scene
+        return load_cmu_scene(path, **kw)
     raise ValueError(f"unrecognised dataset layout at {path}")
