@@ -1,0 +1,243 @@
+"""Gaussian-sharded + tile-sharded rendering with a distributed
+tile-binning exchange.
+
+The reference is strictly single-GPU: its CUB sort builds per-tile lists
+in one device's memory (rasterizer_impl.cu:70-138).  This module is the
+TPU-native scaling path (SURVEY.md §2c): Gaussian primitives are sharded
+over the mesh axis ``gauss``; each device preprocesses its shard, emits
+(tile, depth, features) records, routes them to the device that OWNS the
+tile via ``jax.lax.all_to_all``, and blends its tile slab locally.
+
+Design points:
+  * Tile ownership is INTERLEAVED (tile t -> device t % D) — occupancy is
+    wildly non-uniform across the image, interleaving balances it
+    (SURVEY.md §7 hard part #4).
+  * Fixed per-(src,dst) record capacity keeps shapes static under jit; an
+    overflow counter is returned so callers can size caps (the same
+    static-capacity discipline the single-chip binner uses).
+  * The whole pipeline is differentiable: the exchange transposes to an
+    all_to_all, sorts/gathers transpose to scatters — XLA's equivalent of
+    the CUDA backward's cross-tile atomic reductions.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import TILE, RasterConfig
+from ..data.cameras import Camera
+from ..ops import blend as B
+from ..ops.projection import preprocess, tile_grid
+from ..ops.tiled_raster import _tile_pixels
+
+AXIS = "gauss"
+NFEAT = 19  # T(9) + center(2) + normal(3) + color(3) + opacity(1) + depth(1)
+
+
+class ShardRender(NamedTuple):
+    image: jnp.ndarray      # [H,W,3] (replicated result)
+    allmap: jnp.ndarray     # [H,W,8]
+    overflow: jnp.ndarray   # scalar int32: records dropped at the exchange
+
+
+def _emit_records(prep, feats, grid_x: int, grid_y: int, n_dev: int,
+                  cfg: RasterConfig, exchange_cap: int):
+    """Per-device: depth-sort local gaussians, expand tile rects, group
+    records by destination device (tile % n_dev).  Returns
+    (blocks [n_dev, cap, NFEAT+1], valid [n_dev, cap], overflow)."""
+    n = prep.depth.shape[0]
+    r_cap = cfg.max_tiles_per_gaussian
+    num_tiles = grid_x * grid_y
+
+    depth_key = jnp.where(prep.valid, prep.depth, jnp.inf)
+    order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
+
+    rmin, rmax = prep.rect_min[order], prep.rect_max[order]
+    valid = prep.valid[order]
+    rw = rmax[:, 0] - rmin[:, 0]
+    rh = rmax[:, 1] - rmin[:, 1]
+    rw_c = jnp.minimum(rw, r_cap)
+    rh_c = jnp.minimum(rh, jnp.maximum(r_cap // jnp.maximum(rw_c, 1), 1))
+    ox = rmin[:, 0] + (rw - rw_c) // 2
+    oy = rmin[:, 1] + (rh - rh_c) // 2
+
+    slot = jnp.arange(r_cap, dtype=jnp.int32)[None, :]
+    sw = jnp.maximum(rw_c, 1)[:, None]
+    tx = ox[:, None] + slot % sw
+    ty = oy[:, None] + slot // sw
+    ok = valid[:, None] & (slot < (rw_c * rh_c)[:, None])
+    tile = jnp.where(ok, ty * grid_x + tx, num_tiles).astype(jnp.int32)
+
+    dest = jnp.where(ok, tile % n_dev, n_dev).astype(jnp.int32)
+    flat_dest = dest.ravel()
+    flat_tile = tile.ravel()
+    flat_gid = jnp.broadcast_to(order[:, None], (n, r_cap)).ravel()
+    flat_ok = ok.ravel()
+
+    # group by destination, keeping depth-major emission order per dest
+    sort_dest, s_tile, s_gid, s_ok = jax.lax.sort(
+        (flat_dest, flat_tile, flat_gid, flat_ok), num_keys=1,
+        is_stable=True)
+    edges = jnp.searchsorted(sort_dest,
+                             jnp.arange(n_dev + 1, dtype=jnp.int32),
+                             side="left").astype(jnp.int32)
+    start, end = edges[:-1], edges[1:]
+    overflow = jnp.sum(jnp.maximum(end - start - exchange_cap, 0))
+
+    offs = start[:, None] + jnp.arange(exchange_cap, dtype=jnp.int32)[None]
+    in_seg = offs < end[:, None]
+    offs = jnp.clip(offs, 0, flat_dest.shape[0] - 1)
+    blk_tile = jnp.where(in_seg, s_tile[offs], num_tiles)
+    blk_ok = in_seg & s_ok[offs]
+    blk_feat = feats[s_gid[offs]]                     # [n_dev, cap, NFEAT]
+    blocks = jnp.concatenate(
+        [blk_feat, blk_tile[..., None].astype(jnp.float32)], axis=-1)
+    return blocks, blk_ok, overflow
+
+
+def _blend_local_tiles(recs, rec_ok, my_tiles, grid_x, grid_y,
+                       cfg: RasterConfig, n_dev: int, dev_id):
+    """recs: [R, NFEAT+1] records for THIS device's tiles (unsorted
+    across sources); my_tiles: number of owned tiles (static)."""
+    num_tiles = grid_x * grid_y
+    Ppix = TILE * TILE
+
+    tile_g = recs[..., -1].astype(jnp.int32)            # global tile id
+    tile_g = jnp.where(rec_ok, tile_g, num_tiles)
+    depth = jnp.where(rec_ok, recs[..., 18], jnp.inf)
+    # merge sources by (tile, depth); stability keeps deterministic ties
+    feat_cols = [recs[..., i] for i in range(NFEAT)]
+    sorted_all = jax.lax.sort((tile_g, depth, *feat_cols, rec_ok),
+                              num_keys=2, is_stable=True)
+    s_tile, _s_depth = sorted_all[0], sorted_all[1]
+    s_feat = jnp.stack(sorted_all[2:2 + NFEAT], axis=-1)
+    s_ok = sorted_all[-1]
+
+    # local tile t_loc owns global tile t_loc * n_dev + dev_id
+    glob = jnp.arange(my_tiles, dtype=jnp.int32) * n_dev + dev_id
+    tile_start = jnp.searchsorted(s_tile, glob, side="left").astype(
+        jnp.int32)
+    tile_end = jnp.searchsorted(s_tile, glob + 1, side="left").astype(
+        jnp.int32)
+    tile_count = tile_end - tile_start
+
+    all_pix = _tile_pixels(grid_x, grid_y)              # [T_all, P, 2]
+    pad = jnp.zeros((1, Ppix, 2), jnp.float32)
+    pix = jnp.concatenate([all_pix, pad], axis=0)[
+        jnp.clip(glob, 0, num_tiles)]                   # [my_tiles, P, 2]
+
+    n_chunks = max(cfg.tile_cap // cfg.chunk, 1)
+    R = recs.shape[0]
+    state0 = jax.vmap(lambda _: B.init_state(Ppix))(jnp.arange(my_tiles))
+
+    @jax.checkpoint
+    def chunk_step(state, ci):
+        base = tile_start + ci * cfg.chunk
+        offs = base[:, None] + jnp.arange(cfg.chunk, dtype=jnp.int32)[None]
+        in_range = offs < tile_end[:, None]
+        offs = jnp.clip(offs, 0, R - 1)
+        f = s_feat[offs]                                # [T,chunk,NFEAT]
+        ok = in_range & s_ok[offs]
+        Tm = f[..., 0:9].reshape(f.shape[0], f.shape[1], 3, 3)
+        cen, nor = f[..., 9:11], f[..., 11:14]
+        col = f[..., 14:17]
+        opc = jnp.where(ok, f[..., 17], 0.0)
+
+        def tile_blend(st, tT, tc, tn, tcol, topac, tpix):
+            a, d = B.pixel_responses(tT, tc, topac, tpix)
+            return B.blend_chunk(st, a, d, tcol, tn)
+
+        return jax.vmap(tile_blend)(state, Tm, cen, nor, col, opc,
+                                    pix), None
+
+    state, _ = jax.lax.scan(chunk_step, state0,
+                            jnp.arange(n_chunks, dtype=jnp.int32))
+    color, allmap = jax.vmap(B.finalize, in_axes=(0, None))(
+        state, jnp.zeros((3,), jnp.float32))
+    return color, allmap, tile_count
+
+
+def render_gauss_sharded(mesh: Mesh, cam: Camera, means3d, scales, quats,
+                         opacity, colors, alive, bg,
+                         cfg: RasterConfig = RasterConfig(),
+                         exchange_cap: int = 4096) -> ShardRender:
+    """Render with Gaussians sharded over mesh axis AXIS and image tiles
+    sharded (interleaved) over the same axis.  All per-gaussian arrays
+    must be shardable on dim 0 by the mesh size; returns replicated maps.
+    """
+    n_dev = mesh.shape[AXIS]
+    H, W = cam.H, cam.W
+    gx, gy = tile_grid(H, W)
+    num_tiles = gx * gy
+    my_tiles = -(-num_tiles // n_dev)  # ceil: padded tile slots at the end
+
+    def shard_fn(means, scl, qt, opc, col, alv):
+        dev_id = jax.lax.axis_index(AXIS)
+        prep = preprocess(means, scl, qt, cam)
+        valid = prep.valid & alv
+        prep = prep._replace(valid=valid,
+                             radius=jnp.where(valid, prep.radius, 0))
+        opc_m = jnp.where(valid, opc, 0.0)
+        n = means.shape[0]
+        feats = jnp.concatenate(
+            [prep.T.reshape(n, 9), prep.center, prep.normal, col,
+             opc_m[:, None], prep.depth[:, None]], axis=-1)
+
+        blocks, blk_ok, overflow = _emit_records(
+            prep, feats, gx, gy, n_dev, cfg, exchange_cap)
+        # the exchange: blocks[d] -> device d   (ICI all_to_all)
+        recs = jax.lax.all_to_all(blocks, AXIS, split_axis=0,
+                                  concat_axis=0, tiled=True)
+        rec_ok = jax.lax.all_to_all(blk_ok, AXIS, split_axis=0,
+                                    concat_axis=0, tiled=True)
+
+        color, allmap, _cnt = _blend_local_tiles(
+            recs.reshape(-1, NFEAT + 1), rec_ok.reshape(-1),
+            my_tiles, gx, gy, cfg, n_dev, dev_id)
+        overflow = jax.lax.psum(overflow, AXIS)
+        # gather everyone's tile slabs -> full interleaved tile array
+        color_all = jax.lax.all_gather(color, AXIS)   # [D, my_tiles, P, 3]
+        allmap_all = jax.lax.all_gather(allmap, AXIS)
+        return color_all, allmap_all, overflow
+
+    in_specs = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
+    # outputs ARE replicated (all_gather/psum) but the vma tracker can't
+    # prove it through the sort/scan pipeline — hence check_vma=False
+    color_all, allmap_all, overflow = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=in_specs,
+        out_specs=(P(), P(), P()), check_vma=False)(
+        means3d, scales, quats, opacity, colors, alive)
+
+    # un-interleave: global tile t lives at color_all[t % D, t // D]
+    def deinterleave(x):
+        D, T_loc = x.shape[0], x.shape[1]
+        x = jnp.swapaxes(x, 0, 1).reshape(D * T_loc, *x.shape[2:])
+        return x[:num_tiles]
+
+    from ..ops.tiled_raster import tiles_to_image
+    tile_color = deinterleave(color_all)
+    tile_allmap = deinterleave(allmap_all)
+    Tfinal = 1.0 - tile_allmap[..., 1:2]
+    tile_color = tile_color + Tfinal * bg[None, None, :]
+    image = tiles_to_image(tile_color, gx, gy, H, W)
+    allmap = tiles_to_image(tile_allmap, gx, gy, H, W)
+    return ShardRender(image=image, allmap=allmap, overflow=overflow)
+
+
+def shard_gaussians(mesh: Mesh, tree):
+    """Place per-gaussian arrays (dim 0 = N) on the gauss axis."""
+    return jax.device_put(tree, NamedSharding(mesh, P(AXIS)))
+
+
+def pad_to_multiple(arr: np.ndarray, m: int, fill=0.0):
+    n = arr.shape[0]
+    pad = (-n) % m
+    if pad == 0:
+        return arr
+    pad_block = np.full((pad, *arr.shape[1:]), fill, arr.dtype)
+    return np.concatenate([arr, pad_block], axis=0)

@@ -135,3 +135,52 @@ def render(cam: Camera, params: GaussianParams, bg: jnp.ndarray,
         rend_dist=rend_dist, depth=surf_depth, surf_normal=surf_normal,
         radii=prep.radius, visibility=prep.radius > 0, allmap=allmap,
         num_pairs=binning.num_pairs)
+
+
+def _full_proj_uvz(xyz: jnp.ndarray, cam: Camera,
+                   znear: float = 0.01, zfar: float = 100.0):
+    """Project to NDC uvz via the 3DGS full projection
+    (render_flow, gaussian_renderer/__init__.py:259-266)."""
+    from ..utils.graphics import get_projection_matrix
+    import numpy as np
+    P = jnp.asarray(get_projection_matrix(
+        znear, zfar, 2 * np.arctan(cam.W / (2 * float(cam.fx))),
+        2 * np.arctan(cam.H / (2 * float(cam.fy)))))
+    full = P @ cam.w2c                                     # [4,4]
+    h = jnp.concatenate([xyz, jnp.ones_like(xyz[:, :1])], -1) @ full.T
+    return h[:, :3] / (h[:, 3:4] + 1e-7)
+
+
+def render_flow(params: GaussianParams, cam1: Camera, cam2: Camera | None,
+                d_xyz1, d_xyz2, d_rotation1=0.0, d_scaling1=0.0,
+                scaling_modifier: float = 1.0,
+                scale_const: float | None = None,
+                cfg: RasterConfig = RasterConfig()) -> dict:
+    """Optical-flow rendering (gaussian_renderer/__init__.py:222-337):
+    the uvz displacement of each Gaussian between (t1, cam1) and
+    (t2, cam2), splatted through the 3DGS rasterizer as its 'color'.
+    Channel 2 carries the motion-mask (line 273).  Returns the
+    reference's dict contract."""
+    from ..ops.raster3d import rasterize_3dgs
+
+    xyz_c = jax.lax.stop_gradient(params.xyz)
+    uvz1 = _full_proj_uvz(xyz_c + d_xyz1, cam1)
+    uvz2 = _full_proj_uvz(xyz_c + d_xyz2,
+                          cam1 if cam2 is None else cam2)
+    flow = uvz2 - uvz1
+    flow = jnp.concatenate([flow[:, :2], params.motion_mask], axis=-1)
+
+    means3d = params.xyz + d_xyz1
+    if scale_const is not None:
+        scales = jnp.full_like(params.get_scaling, scale_const)
+    else:
+        scales = params.get_scaling + d_scaling1
+    from ..utils.quaternion import quat_normalize
+    quats = quat_normalize(params.rotation + d_rotation1, eps=1e-12)
+    opacity = jnp.where(params.alive, params.get_opacity[:, 0], 0.0)
+
+    image, radii, depth, alpha = rasterize_3dgs(
+        means3d, scales, quats, opacity, flow, cam1,
+        scale_modifier=scaling_modifier, cfg=cfg)
+    return dict(render=image, depth=depth, alpha=alpha, radii=radii,
+                visibility_filter=radii > 0)

@@ -61,6 +61,13 @@ class TrainConfig:
     node_densify_until_iter: int = 25_000
     node_force_densify_prune_step: int = 10_000
 
+    # progressive time-window curriculum (arguments/__init__.py:141-144,
+    # train_gui.py:238-253) and AST time-noise for non-blender scenes
+    # (train_gui.py:269,278)
+    progressive_train: bool = False
+    progressive_stage_ratio: float = 0.2
+    progressive_stage_steps: int = 3_000
+
     # losses (train_gui.py:292-293, 500-507)
     lambda_normal: float = 0.02
     lambda_dist: float = 1000.0

@@ -424,12 +424,48 @@ class Trainer:
         self._stack = []
         self.log_fn = log_fn or (lambda *a, **k: None)
         self.time_interval = 1.0 / max(len(cameras), 1)
+        # AST time-noise magnitude schedule (train_gui.py:189)
+        from ..utils.general import get_linear_noise_func
+        self.smooth_term = get_linear_noise_func(
+            lr_init=0.1, lr_final=1e-15, lr_delay_mult=0.01,
+            max_steps=20_000)
+        self._time_order = np.argsort(
+            [float(c.time) for c in cameras]).tolist()
+
+    def _refill_stack(self):
+        """Progressive time-window curriculum (train_gui.py:238-253):
+        early iterations train on a sliding window of time-sorted cameras
+        plus a replayed sample of earlier ('out-of-domain') frames."""
+        cfg, it, n = self.cfg, self.iteration, len(self.cameras)
+        if (cfg.progressive_train and it < int(
+                cfg.progressive_stage_steps / cfg.progressive_stage_ratio)):
+            hi = int(min((it / cfg.progressive_stage_steps + 1)
+                         * cfg.progressive_stage_ratio, 1.0) * n)
+            hi = max(hi, 1)
+            win = int(n * cfg.progressive_stage_ratio)
+            lo = max(0, hi - win)
+            stack = self._time_order[lo:hi]
+            replay = self._time_order[:lo]
+            if len(replay) >= win:
+                stack = stack + [replay[j] for j in self.rng.choice(
+                    len(replay), win, replace=False)]
+            self._stack = stack
+        else:
+            self._stack = list(range(n))
 
     def _pick_camera(self):
         if not self._stack:
-            self._stack = list(range(len(self.cameras)))
+            self._refill_stack()
         i = self._stack.pop(self.rng.randint(len(self._stack)))
-        return self.cameras[i], self.images[i]
+        cam, img = self.cameras[i], self.images[i]
+        if not self.cfg.is_blender:
+            # AST noise: perturb the deformation query time
+            # (train_gui.py:278; cam.time only feeds the warp)
+            noise = (self.rng.randn() * self.time_interval
+                     * self.smooth_term(self.iteration))
+            cam = dataclasses.replace(
+                cam, time=cam.time + jnp.float32(noise))
+        return cam, img
 
     # --- stage 1 ---
     def node_stage_iteration(self):

@@ -37,6 +37,28 @@ def get_expon_lr_func(lr_init: float, lr_final: float,
     return helper
 
 
+def get_linear_noise_func(lr_init: float, lr_final: float,
+                          lr_delay_steps: int = 0,
+                          lr_delay_mult: float = 1.0,
+                          max_steps: int = 1_000_000):
+    """Linear (not log) interpolation with the same delayed-warmup shape —
+    the reference's AST time-noise magnitude schedule
+    (general_utils.py get_linear_noise_func, used at train_gui.py:189)."""
+    import numpy as _np
+
+    def helper(step):
+        if step < 0 or (lr_init == 0.0 and lr_final == 0.0):
+            return 0.0
+        if lr_delay_steps > 0:
+            delay_rate = lr_delay_mult + (1 - lr_delay_mult) * _np.sin(
+                0.5 * _np.pi * _np.clip(step / lr_delay_steps, 0, 1))
+        else:
+            delay_rate = 1.0
+        t = _np.clip(step / max_steps, 0, 1)
+        return float(delay_rate * (lr_init * (1 - t) + lr_final * t))
+    return helper
+
+
 def farthest_point_sample(key, points: jnp.ndarray, n_sample: int,
                           mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """FPS over [N, D] points -> [n_sample] indices (time_utils.py:461-482).
