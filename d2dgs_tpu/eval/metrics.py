@@ -79,6 +79,31 @@ class Lpips:
                        jnp.asarray(z[f"conv{i}_b"])) for i in range(13)]
         self.lins = [jnp.asarray(z[f"lin{j}_w"]) for j in range(5)]
 
+    @classmethod
+    def random(cls, seed: int = 0) -> "Lpips":
+        """Deterministic He-initialized VGG16 features, uniform calibration
+        heads.  Random-feature perceptual distance is a documented
+        substitution for trained LPIPS when pretrained weights cannot be
+        shipped (zero-egress env); reported as `lpips_rand`, never as
+        `lpips_vgg`.  Untrained-VGG LPIPS is known to correlate with human
+        judgement well above pixelwise metrics (LPIPS paper §5, "rand"
+        rows)."""
+        self = cls.__new__(cls)
+        rng = np.random.RandomState(seed)
+        convs, cin = [], 3
+        for c in _VGG_CFG:
+            if c == "M":
+                continue
+            fan_in = cin * 9
+            w = rng.normal(0, np.sqrt(2.0 / fan_in),
+                           (c, cin, 3, 3)).astype(np.float32)
+            convs.append((jnp.asarray(w), jnp.zeros((c,), jnp.float32)))
+            cin = c
+        self.convs = convs
+        taps = [64, 128, 256, 512, 512]
+        self.lins = [jnp.full((t,), 1.0 / t, jnp.float32) for t in taps]
+        return self
+
     def _features(self, x):
         # x [H,W,3] in [0,1] -> scaled, NCHW
         h = ((x * 2.0 - 1.0 - _SHIFT) / _SCALE).transpose(2, 0, 1)[None]
@@ -123,8 +148,16 @@ def get_lpips(weights_path: str | None = None):
     return _LPIPS_CACHE[path]
 
 
-def evaluate_image_metrics(pred, gt, lpips_weights: str | None = None):
-    """-> dict of floats (lpips omitted when weights unavailable)."""
+def get_lpips_rand():
+    if "rand" not in _LPIPS_CACHE:
+        _LPIPS_CACHE["rand"] = Lpips.random()
+    return _LPIPS_CACHE["rand"]
+
+
+def evaluate_image_metrics(pred, gt, lpips_weights: str | None = None,
+                           lpips_rand: bool = True):
+    """-> dict of floats.  `lpips_vgg` only with provided trained weights;
+    `lpips_rand` is the always-available random-feature substitute."""
     pred = jnp.asarray(pred)
     gt = jnp.asarray(gt)
     out = {
@@ -135,4 +168,6 @@ def evaluate_image_metrics(pred, gt, lpips_weights: str | None = None):
     lp = get_lpips(lpips_weights)
     if lp is not None:
         out["lpips_vgg"] = float(lp(pred, gt))
+    if lpips_rand:
+        out["lpips_rand"] = float(get_lpips_rand()(pred, gt))
     return out

@@ -23,10 +23,11 @@ def reconstruct_mesh(cameras, gauss, nodes, node_cfg, raster_cfg,
                      bounds=((-1.3, -1.3, -1.3), (1.3, 1.3, 1.3)),
                      voxel: float = 0.008, depth_trunc: float = 6.0,
                      keep_clusters: int = 1,
-                     depth_filtering: bool = True):
+                     depth_filtering: bool = True,
+                     return_colors: bool = False):
     """cameras: list[Camera]; alpha_masks: optional list of [H,W,1] gt
     masks (depth zeroed where mask < 0.5, mesh_utils.py:185-186).
-    Returns (verts, faces)."""
+    Returns (verts, faces) or (verts, faces, vert_colors)."""
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
     vol = make_volume(bounds[0], bounds[1], voxel=voxel)
@@ -51,4 +52,10 @@ def reconstruct_mesh(cameras, gauss, nodes, node_cfg, raster_cfg,
     verts, faces = extract_mesh(vol)
     if keep_clusters > 0 and faces.shape[0] > 0:
         verts, faces = largest_components(verts, faces, keep=keep_clusters)
-    return verts, faces
+    if not return_colors:
+        return verts, faces
+    from .tsdf import sample_colors
+    if verts.shape[0] == 0:
+        return verts, faces, np.zeros((0, 3), np.float32)
+    colors = np.asarray(sample_colors(vol, jnp.asarray(verts)))
+    return verts, faces, colors

@@ -187,48 +187,45 @@ def extract_mesh(vol: TsdfVolume):
     tri = v[ok]                                            # [F,3,3]
     if tri.shape[0] == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
-    flat = tri.reshape(-1, 3)
-    # weld on a voxel/1024 grid
-    keys = np.round(flat / (vol.voxel / 1024.0)).astype(np.int64)
-    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
-    # representative positions
-    verts_out = np.zeros((uniq.shape[0], 3), np.float64)
-    np.add.at(verts_out, inv, flat)
-    counts = np.bincount(inv, minlength=uniq.shape[0])[:, None]
-    verts_out = (verts_out / counts).astype(np.float32)
-    faces = inv.reshape(-1, 3).astype(np.int32)
-    # drop degenerate faces
-    good = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
-            & (faces[:, 0] != faces[:, 2]))
-    return verts_out, faces[good]
+    # weld on a voxel/1024 grid (C++ host runtime, numpy fallback inside)
+    from ..native import weld_mesh
+    return weld_mesh(tri, vol.voxel / 1024.0)
+
+
+@jax.jit
+def sample_colors(vol: TsdfVolume, verts: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear sample of the fused color volume at vertex positions
+    (Open3D's extract_triangle_mesh bakes vertex colors the same way)."""
+    g = (verts - vol.origin[None, :]) / vol.voxel
+    X, Y, Z = vol.tsdf.shape
+    g0 = jnp.floor(g).astype(jnp.int32)
+    f = g - g0
+    acc = jnp.zeros((verts.shape[0], 3), jnp.float32)
+    wacc = jnp.zeros((verts.shape[0], 1), jnp.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                ii = jnp.clip(g0[:, 0] + dx, 0, X - 1)
+                jj = jnp.clip(g0[:, 1] + dy, 0, Y - 1)
+                kk = jnp.clip(g0[:, 2] + dz, 0, Z - 1)
+                w = (jnp.abs(1 - dx - f[:, 0]) * jnp.abs(1 - dy - f[:, 1])
+                     * jnp.abs(1 - dz - f[:, 2]))
+                w = w * (vol.weight[ii, jj, kk] > 0)
+                acc = acc + w[:, None] * vol.color[ii, jj, kk]
+                wacc = wacc + w[:, None]
+    return acc / jnp.maximum(wacc, 1e-8)
 
 
 def largest_components(verts: np.ndarray, faces: np.ndarray,
                        keep: int = 1, min_ratio: float = 0.0):
     """Keep the `keep` largest connected components by triangle count
     (post_process_mesh, mesh_utils.py:24-45 keeps cluster_to_keep=1000 for
-    sequences / 1 for single meshes)."""
-    import scipy.sparse as sp
-    from scipy.sparse.csgraph import connected_components
+    sequences / 1 for single meshes).  Union-find in the C++ host runtime
+    (d2dgs_tpu.native), numpy/scipy fallback inside."""
+    from ..native import filter_components
     if faces.shape[0] == 0:
         return verts, faces
-    n = verts.shape[0]
-    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
-                        faces[:, [0, 2]]])
-    adj = sp.coo_matrix((np.ones(len(e)), (e[:, 0], e[:, 1])), shape=(n, n))
-    _, label = connected_components(adj, directed=False)
-    fl = label[faces[:, 0]]
-    sizes = np.bincount(fl)
-    order = np.argsort(sizes)[::-1]
-    chosen = set(order[:keep].tolist())
-    if min_ratio > 0:
-        chosen |= set(np.where(sizes >= min_ratio * sizes.max())[0].tolist())
-    mask = np.isin(fl, list(chosen))
-    faces2 = faces[mask]
-    used = np.unique(faces2)
-    remap = -np.ones(n, np.int64)
-    remap[used] = np.arange(len(used))
-    return verts[used], remap[faces2].astype(np.int32)
+    return filter_components(verts, faces, keep=keep, min_ratio=min_ratio)
 
 
 def save_mesh_ply(path: str, verts: np.ndarray, faces: np.ndarray,

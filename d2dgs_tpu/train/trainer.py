@@ -431,6 +431,37 @@ class Trainer:
             max_steps=20_000)
         self._time_order = np.argsort(
             [float(c.time) for c in cameras]).tolist()
+        # optional SIBR remote viewer (network_gui poll at the top of each
+        # train step, train_gui.py:216-229); attach via attach_viewer()
+        self.viewer = None
+
+    def attach_viewer(self, host: str = "127.0.0.1", port: int = 6009):
+        from ..viewer import ViewerServer
+        self.viewer = ViewerServer(host, port)
+        return self.viewer
+
+    def _poll_viewer(self):
+        if self.viewer is None:
+            return
+
+        def render_fn(cam, scaling_modifier):
+            from ..models.nodes import warp
+            from ..render.renderer import render
+            g = self.state.gauss
+            d = warp(self.state.nodes, self.cfg.node_cfg, g.xyz, cam.time,
+                     feature=g.feature, motion_mask=g.motion_mask)
+            out = render(cam, g, jnp.zeros((3,), jnp.float32),
+                         d_xyz=d["d_xyz"], d_rotation=d["d_rotation"],
+                         d_scaling=d["d_scaling"],
+                         scaling_modifier=scaling_modifier,
+                         cfg=self.cfg.raster)
+            return out.image
+
+        # serve frames until the client hands control back to training
+        while True:
+            st = self.viewer.poll(render_fn)
+            if not st["connected"] or st["do_training"]:
+                break
 
     def _refill_stack(self):
         """Progressive time-window curriculum (train_gui.py:238-253):
@@ -548,6 +579,7 @@ class Trainer:
         return metrics
 
     def step(self):
+        self._poll_viewer()
         if self.iteration_node < self.cfg.iterations_node_rendering:
             return self.node_stage_iteration()
         return self.main_iteration()

@@ -65,3 +65,44 @@ def quat_raw_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def quat_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return standardize_quaternion(quat_raw_multiply(a, b))
+
+
+def rotmat_to_quat(R: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3, 3] rotation matrix -> [..., 4] wxyz quaternion (branchless
+    sqrt-positive-part construction, lap_deform.py:34-93 semantics).
+
+    Selects the best-conditioned of the four candidate quaternions per
+    matrix via where-chains (jit/vmap friendly, no data-dependent
+    control flow)."""
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+
+    def _psqrt(x):
+        return jnp.sqrt(jnp.maximum(x, 0.0))
+
+    qw = 0.5 * _psqrt(1.0 + m00 + m11 + m22)
+    qx = 0.5 * _psqrt(1.0 + m00 - m11 - m22)
+    qy = 0.5 * _psqrt(1.0 - m00 + m11 - m22)
+    qz = 0.5 * _psqrt(1.0 - m00 - m11 + m22)
+
+    # four candidate reconstructions, each stable when its pivot is largest
+    c0 = jnp.stack([qw, (m21 - m12) / (4 * qw + 1e-12),
+                    (m02 - m20) / (4 * qw + 1e-12),
+                    (m10 - m01) / (4 * qw + 1e-12)], -1)
+    c1 = jnp.stack([(m21 - m12) / (4 * qx + 1e-12), qx,
+                    (m01 + m10) / (4 * qx + 1e-12),
+                    (m02 + m20) / (4 * qx + 1e-12)], -1)
+    c2 = jnp.stack([(m02 - m20) / (4 * qy + 1e-12),
+                    (m01 + m10) / (4 * qy + 1e-12), qy,
+                    (m12 + m21) / (4 * qy + 1e-12)], -1)
+    c3 = jnp.stack([(m10 - m01) / (4 * qz + 1e-12),
+                    (m02 + m20) / (4 * qz + 1e-12),
+                    (m12 + m21) / (4 * qz + 1e-12), qz], -1)
+
+    mags = jnp.stack([qw, qx, qy, qz], -1)
+    best = jnp.argmax(mags, axis=-1)[..., None]
+    q = jnp.where(best == 0, c0,
+                  jnp.where(best == 1, c1,
+                            jnp.where(best == 2, c2, c3)))
+    return standardize_quaternion(quat_normalize(q, eps=1e-12))

@@ -9,6 +9,11 @@ actually initialized, so we force the platform through the config API.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
+# Subprocesses must NOT register the axon TPU PJRT plugin (sitecustomize
+# gates on this env var): the relay claim can block behind the parent and
+# hang CPU-only CLI smoke tests.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

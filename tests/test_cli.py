@@ -52,6 +52,8 @@ def test_cli_train_render_mesh(blender_dir, tmp_path):
     model = str(tmp_path / "model")
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU relay in subprocesses
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
     common = ["--source_path", blender_dir, "--model_path", model,
               "--sh_degree", "1", "--hyper_dim", "2", "--node_num", "16",
               "--gaussian_capacity", "512", "--node_gauss_capacity", "256",

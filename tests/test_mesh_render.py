@@ -1,0 +1,92 @@
+"""Mesh re-renderer (d2dgs_tpu/mesh/render.py) correctness tests."""
+import numpy as np
+import jax.numpy as jnp
+
+from d2dgs_tpu.data.cameras import orbit_camera
+from d2dgs_tpu.mesh.render import mesh_shape_render, render_mesh
+
+
+def _front_quad(z=2.0, half=0.5):
+    """Two triangles forming a quad at camera-space depth z (camera on +z
+    axis looking at origin via orbit_camera(0,0,dist) => world == view up
+    to the rig transform; we build it in world space in front of the cam)."""
+    v = np.array([[-half, -half, 0], [half, -half, 0],
+                  [half, half, 0], [-half, half, 0]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    return v, f
+
+
+def test_render_mesh_color_depth_mask():
+    cam = orbit_camera(0.0, 0.0, 2.0, fov=0.8, H=64, W=64, time=0.0)
+    verts, faces = _front_quad()
+    cols = np.tile(np.array([[0.2, 0.6, 0.9]], np.float32),
+                   (verts.shape[0], 1))
+    img, depth, mask = render_mesh(cam, verts, faces, cols,
+                                   bg=jnp.zeros(3))
+    img, depth, mask = map(np.asarray, (img, depth, mask))
+    c = img[32, 32]
+    assert np.allclose(c, [0.2, 0.6, 0.9], atol=1e-3), c
+    # quad plane passes through origin, camera at distance 2
+    assert abs(depth[32, 32] - 2.0) < 0.02, depth[32, 32]
+    assert mask[32, 32] == 1.0
+    # corners are background
+    assert mask[0, 0] == 0.0 and np.all(img[0, 0] == 0.0)
+    assert depth[0, 0] == 0.0
+
+
+def test_render_mesh_occlusion():
+    cam = orbit_camera(0.0, 0.0, 3.0, fov=0.8, H=48, W=48, time=0.0)
+    # near red quad occludes far green quad
+    v1, f1 = _front_quad(half=0.3)
+    v2, f2 = _front_quad(half=0.6)
+    v2 = v2.copy()
+    v2[:, 2] -= 1.0  # push away from camera (camera looks from +z)
+    verts = np.concatenate([v1, v2])
+    faces = np.concatenate([f1, f2 + 4])
+    cols = np.concatenate([np.tile([[1.0, 0, 0]], (4, 1)),
+                           np.tile([[0, 1.0, 0]], (4, 1))]).astype(
+                               np.float32)
+    img, depth, mask = render_mesh(cam, verts, faces, cols,
+                                   bg=jnp.zeros(3))
+    img = np.asarray(img)
+    assert np.allclose(img[24, 24], [1, 0, 0], atol=1e-3), img[24, 24]
+    # a pixel covered only by the big far quad is green
+    got_green = np.allclose(img[8, 24], [0, 1, 0], atol=1e-3)
+    assert got_green, img[8, 24]
+
+
+def test_render_mesh_interpolates_vertex_colors():
+    cam = orbit_camera(0.0, 0.0, 2.0, fov=0.8, H=64, W=64, time=0.0)
+    verts, faces = _front_quad()
+    cols = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1]],
+                    np.float32)
+    img, _, mask = render_mesh(cam, verts, faces, cols, bg=jnp.zeros(3))
+    img = np.asarray(img)
+    center = img[32, 32]
+    # center of the quad: mix of the corner colors, not any pure corner
+    assert 0.05 < center.min() and center.max() < 0.95, center
+
+
+def test_mesh_shape_render_shading():
+    cam = orbit_camera(0.0, 0.0, 2.0, fov=0.8, H=48, W=48, time=0.0)
+    verts, faces = _front_quad()
+    img, depth, mask = mesh_shape_render(cam, verts, faces)
+    img, mask = np.asarray(img), np.asarray(mask)
+    c = img[24, 24]
+    # face normal points at the camera -> diffuse ~= 1 -> shade ~= 1, gray
+    assert np.all(c > 0.9) and abs(c[0] - c[1]) < 1e-5
+    assert mask[24, 24] == 1.0
+
+
+def test_render_mesh_supersample():
+    cam = orbit_camera(0.0, 0.0, 2.0, fov=0.8, H=32, W=32, time=0.0)
+    verts, faces = _front_quad()
+    cols = np.ones((4, 3), np.float32)
+    img1, _, _ = render_mesh(cam, verts, faces, cols, bg=jnp.zeros(3))
+    img2, _, _ = render_mesh(cam, verts, faces, cols, bg=jnp.zeros(3),
+                             supersample=2)
+    img1, img2 = np.asarray(img1), np.asarray(img2)
+    assert img2.shape == img1.shape
+    # supersampled edges contain fractional coverage values
+    frac = (img2[..., 0] > 0.05) & (img2[..., 0] < 0.95)
+    assert frac.any()
