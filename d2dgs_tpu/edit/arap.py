@@ -38,17 +38,19 @@ def build_graph(pcl: jnp.ndarray, K: int = 4,
     weighted Laplacian L = D - W (symmetrized)."""
     pcl = jnp.asarray(pcl, jnp.float32)
     N = pcl.shape[0]
-    d2, idx = knn(pcl, pcl, K + 1)           # self is the 0-nn
-    d2, idx = d2[:, 1:], idx[:, 1:]
+    d2, idx = knn(pcl, pcl, K, exclude_self=True)
     if radius is None:
         r2 = jnp.mean(d2) + 1e-12
     else:
         r2 = radius ** 2
     w = jnp.exp(-d2 / (2.0 * r2))
     w = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-12)
+    # Row-stochastic Laplacian L = I - W_row, consistent with the
+    # row-normalized weights used for the global-step RHS (the
+    # reference's L_opt); a symmetrized L would make rigid translation
+    # not a fixed point of the local-global loop.
     W = jnp.zeros((N, N), jnp.float32)
     W = W.at[jnp.arange(N)[:, None], idx].add(w)
-    W = 0.5 * (W + W.T)
     L = jnp.diag(W.sum(-1)) - W
     return ArapGraph(verts=pcl, nbr=idx, w=w, L=L)
 
@@ -69,8 +71,7 @@ def _fit_rotations(P, P_prime, w):
     S = jnp.einsum("nki,nk,nkj->nij", P, w, P_prime)
     # zero covariance (undeformed) -> identity rotation
     U, sig, Vt = jnp.linalg.svd(S)
-    R = jnp.einsum("nij,nkj->nik", jnp.swapaxes(Vt, 1, 2),
-                   jnp.swapaxes(U, 1, 2))  # V @ U^T
+    R = jnp.einsum("nji,nkj->nik", Vt, U)    # V @ U^T
     det = jnp.linalg.det(R)
     # flip the column of U with the smallest singular value where det<0
     flip_col = jnp.argmin(sig, axis=-1)
@@ -78,8 +79,7 @@ def _fit_rotations(P, P_prime, w):
         jnp.arange(sig.shape[0]), flip_col].set(jnp.where(det < 0, -1.0,
                                                           1.0))
     Umod = U * sign[:, None, :]
-    Rfix = jnp.einsum("nij,nkj->nik", jnp.swapaxes(Vt, 1, 2),
-                      jnp.swapaxes(Umod, 1, 2))
+    Rfix = jnp.einsum("nji,nkj->nik", Vt, Umod)
     R = jnp.where((det < 0)[:, None, None], Rfix, R)
     undeformed = jnp.all(jnp.abs(P - P_prime) < 1e-12, axis=(1, 2))
     return jnp.where(undeformed[:, None, None],

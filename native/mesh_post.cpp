@@ -19,12 +19,6 @@
 
 namespace {
 
-// 64-bit mix for hashing quantized 3-int keys.
-inline uint64_t mix(uint64_t h, uint64_t v) {
-  h ^= v + 0x9e3779b97f4a7c15ULL + (h << 6) + (h >> 2);
-  return h;
-}
-
 struct UnionFind {
   std::vector<int32_t> parent;
   explicit UnionFind(int32_t n) : parent(n) {
@@ -75,11 +69,16 @@ int64_t d2dgs_weld_mesh(const float* tris, int64_t n_tris, double cell,
     int32_t idx[3];
     for (int k = 0; k < 3; ++k) {
       const float* p = tris + t * 9 + k * 3;
-      uint64_t h = 1469598103934665603ULL;
+      // Exact key: pack the three quantized coords as clamped 21-bit
+      // ints into one uint64 — collision-free (unlike hashing the
+      // cell, which could silently weld distant vertices).
+      uint64_t h = 0;
       for (int d = 0; d < 3; ++d) {
         auto q = static_cast<int64_t>(
             p[d] * inv + (p[d] >= 0 ? 0.5 : -0.5));  // round-half-away
-        h = mix(h, static_cast<uint64_t>(q));
+        constexpr int64_t kLim = (1LL << 20) - 1;    // |q| <= 2^20-1
+        q = q < -kLim ? -kLim : (q > kLim ? kLim : q);
+        h = (h << 21) | static_cast<uint64_t>(q + kLim);
       }
       auto it = lut.find(h);
       if (it == lut.end()) {
