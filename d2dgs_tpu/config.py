@@ -52,6 +52,15 @@ class RasterConfig:
     # Per-tile capacity of the gathered-list renderer (pairs beyond this
     # depth-sorted prefix are dropped; increase for dense scenes).
     tile_cap: int = 4096
+    # Total capacity of the work-queue blend path's compact pair buffer
+    # (chunk-aligned pairs summed over tiles).  The CUDA rasterizer's
+    # dynamically-sized binning buffer (rasterizer_impl.cu:196-342)
+    # becomes this static cap; overflow drops the deepest tiles' tails
+    # and is reported by build_work_queue.
+    pair_cap: int = 1 << 20
+    # Work-queue kernel (one grid step per actual chunk of binned pairs)
+    # vs the dense (tile, chunk) grid kernel.
+    use_workqueue: bool = True
     depth_ratio: float = 1.0  # 1 => median ("surf") depth, 0 => expected
     use_pallas: bool = True   # Pallas blend kernels vs pure-XLA fallback
     # Run the Pallas kernels in interpreter mode on non-TPU backends

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.ssim import _window, psnr, ssim
+from ..ops.ssim import _window1d, psnr, ssim
 
 _MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
@@ -33,7 +33,7 @@ def _avg_pool2(img: jnp.ndarray) -> jnp.ndarray:
 def _ssim_parts(a, b, window_size=11):
     """Returns (mean contrast-structure term, mean luminance*cs term)."""
     from ..ops.ssim import _filter2d
-    win = jnp.asarray(_window(window_size))
+    win = jnp.asarray(_window1d(window_size))
     C1, C2 = 0.01 ** 2, 0.03 ** 2
     mu1, mu2 = _filter2d(a, win), _filter2d(b, win)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2

@@ -138,10 +138,84 @@ def _shade(cam: Camera, verts, faces, colors, bg, H: int, W: int,
             mask.reshape(H, W).astype(jnp.float32))
 
 
+def _subdivide_to_budget(verts, faces, colors, cam: Camera, budget: float,
+                         max_rounds: int = 10):
+    """Host-side midpoint subdivision of triangles whose screen bbox
+    exceeds the per-triangle sample budget, so `_raster_core` covers
+    every pixel with stride 1.  Exact for this renderer: geometry is
+    unchanged and midpoint colors = linear interpolation, matching the
+    perspective-correct barycentric shading."""
+    import numpy as np
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int64)
+    colors = np.asarray(colors, np.float32)
+    w2c = np.asarray(cam.w2c)
+    for _ in range(max_rounds):
+        pc = verts @ w2c[:3, :3].T + w2c[:3, 3]
+        z = pc[:, 2]
+        zs = np.where(np.abs(z) < 1e-8, 1e-8, z)
+        u = pc[:, 0] / zs * float(cam.fx) + cam.W / 2.0
+        v = pc[:, 1] / zs * float(cam.fy) + cam.H / 2.0
+        # clamp to a margin around the image so off-screen geometry
+        # doesn't drive unbounded subdivision
+        u = np.clip(u, -cam.W, 2 * cam.W)
+        v = np.clip(v, -cam.H, 2 * cam.H)
+        uv = np.stack([u, v], -1)
+        tri_uv = uv[faces]
+        vis = (z[faces] > _NEAR).all(-1)
+        ext = (tri_uv.max(1) - tri_uv.min(1)).max(-1)
+        big = vis & (ext + 1.0 > budget)
+        if not big.any():
+            break
+        fb = faces[big]
+        nv = verts.shape[0]
+        mids = []
+        mcols = []
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            mids.append((verts[fb[:, a]] + verts[fb[:, b]]) * 0.5)
+            mcols.append((colors[fb[:, a]] + colors[fb[:, b]]) * 0.5)
+        verts = np.concatenate([verts] + mids)
+        colors = np.concatenate([colors] + mcols)
+        k = fb.shape[0]
+        m01 = nv + np.arange(k)
+        m12 = nv + k + np.arange(k)
+        m20 = nv + 2 * k + np.arange(k)
+        new = np.concatenate([
+            np.stack([fb[:, 0], m01, m20], -1),
+            np.stack([fb[:, 1], m12, m01], -1),
+            np.stack([fb[:, 2], m20, m12], -1),
+            np.stack([m01, m12, m20], -1)])
+        faces = np.concatenate([faces[~big], new])
+    return verts, faces.astype(np.int64), colors
+
+
+def _pad_pow2(verts, faces, colors):
+    """Pad face/vertex counts to powers of two (degenerate all-zero
+    faces) so the jitted _shade recompiles per size bucket, not per
+    mesh."""
+    import numpy as np
+    fcap = max(1, 1 << int(np.ceil(np.log2(max(faces.shape[0], 1)))))
+    vcap = max(1, 1 << int(np.ceil(np.log2(max(verts.shape[0], 1)))))
+    if fcap > faces.shape[0]:
+        faces = np.concatenate(
+            [faces, np.zeros((fcap - faces.shape[0], 3), faces.dtype)])
+    if vcap > verts.shape[0]:
+        verts = np.concatenate(
+            [verts, np.zeros((vcap - verts.shape[0], 3), verts.dtype)])
+        colors = np.concatenate(
+            [colors, np.zeros((vcap - colors.shape[0], colors.shape[1]),
+                              colors.dtype)])
+    return verts, faces, colors
+
+
 def render_mesh(cam: Camera, verts, faces, vert_colors, bg=None,
                 patch: int = 16, splits: int = 2, supersample: int = 1):
     """Vertex-color mesh render (reference mesh_renderer/__init__.py:67-130
     `render_mesh`): returns (rgb [H,W,3], depth [H,W], mask [H,W])."""
+    verts, faces, vert_colors = _subdivide_to_budget(
+        verts, faces, vert_colors, cam,
+        budget=float(patch * splits) / max(int(supersample), 1))
+    verts, faces, vert_colors = _pad_pow2(verts, faces, vert_colors)
     verts = jnp.asarray(verts, jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
     vert_colors = jnp.asarray(vert_colors, jnp.float32)

@@ -5,11 +5,10 @@
              the D-2DGS default.
 * "mlp"    — DeformNetwork queried directly at each Gaussian
              (utils/time_utils.py:208-459; the SC-GS/D-NeRF route).
+* "hash"   — multi-resolution hash-grid field (models/hash_deform.py;
+             the reference's tinycudann HashDeformNetwork,
+             utils/time_utils.py:517-767, re-built in JAX).
 * "static" — no deformation (StaticNetwork, time_utils.py:462-470).
-
-("hash" — the tinycudann hashgrid variant — is GPU-only upstream and is
-represented here by the same MLP interface; a Pallas hashgrid encoder is
-future work.)
 """
 from __future__ import annotations
 
@@ -20,15 +19,17 @@ import jax
 import jax.numpy as jnp
 
 from .deform_mlp import MLPConfig, init_mlp, mlp_forward
+from .hash_deform import HashConfig, hash_deform_forward, init_hash_deform
 from .nodes import (NodeConfig, NodeParams, init_node_params,
                     init_nodes_from_pcl, warp)
 
 
 @dataclasses.dataclass(frozen=True)
 class DeformConfig:
-    deform_type: str = "node"          # node | mlp | static
+    deform_type: str = "node"          # node | mlp | hash | static
     node: NodeConfig = NodeConfig()
     mlp: MLPConfig = MLPConfig()
+    hash: HashConfig = HashConfig()
 
 
 def init_deform(key, cfg: DeformConfig, init_pcl=None) -> Any:
@@ -42,13 +43,15 @@ def init_deform(key, cfg: DeformConfig, init_pcl=None) -> Any:
         return params
     if cfg.deform_type == "mlp":
         return init_mlp(key, cfg.mlp)
+    if cfg.deform_type == "hash":
+        return init_hash_deform(key, cfg.hash)
     if cfg.deform_type == "static":
         return {}
     raise ValueError(f"unknown deform_type {cfg.deform_type!r}")
 
 
 def apply_deform_field(params, cfg: DeformConfig, xyz: jnp.ndarray, t,
-                       feature=None, motion_mask=None) -> dict:
+                       feature=None, motion_mask=None, step=10**9) -> dict:
     """Uniform interface: -> dict(d_xyz, d_rotation, d_scaling,
     d_opacity, d_color) with the 'node'/'mlp'/'static' semantics of
     DeformModel.step (scene/deform_model.py:41-44)."""
@@ -63,6 +66,13 @@ def apply_deform_field(params, cfg: DeformConfig, xyz: jnp.ndarray, t,
         tt = jnp.broadcast_to(jnp.asarray(t, jnp.float32).reshape(1, 1),
                               (n, 1)) if jnp.ndim(t) == 0 else t
         d = mlp_forward(params, cfg.mlp, jax.lax.stop_gradient(xyz), tt)
+        return {"d_xyz": d["d_xyz"], "d_rotation": d["d_rotation"],
+                "d_scaling": d["d_scaling"],
+                "d_opacity": d.get("d_opacity"),
+                "d_color": d.get("d_color")}
+    if cfg.deform_type == "hash":
+        d = hash_deform_forward(params, cfg.hash,
+                                jax.lax.stop_gradient(xyz), t, step=step)
         return {"d_xyz": d["d_xyz"], "d_rotation": d["d_rotation"],
                 "d_scaling": d["d_scaling"],
                 "d_opacity": d.get("d_opacity"),

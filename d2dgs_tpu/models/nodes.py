@@ -119,15 +119,30 @@ def cal_nn_weight(params: NodeParams, cfg: NodeConfig, x: jnp.ndarray,
     if feature is not None and cfg.hyper_dim > 0:
         q = jnp.concatenate([q, feature[..., :cfg.hyper_dim]], axis=-1)
         ref = jnp.concatenate([ref, params.nodes[:, 3:]], axis=-1)
-    # NOTE: distances stay differentiable w.r.t. hyper coords (both sides);
-    # only xyz is frozen, as in the reference.
-    d2_full = (jnp.sum(q * q, axis=-1, keepdims=True)
-               + jnp.sum(ref * ref, axis=-1)[None, :]
-               - 2.0 * jnp.dot(q, ref.T, preferred_element_type=jnp.float32))
+    # Index selection is non-differentiable: compute the full [N, M]
+    # distance matrix fully detached (otherwise the take_along_axis VJP
+    # materializes a dense [N, M] cotangent and re-runs the matmul
+    # backward — ~85 ms at N=100k, M=512).  Exact top-K via K rounds of
+    # argmin (k is tiny; XLA top_k sorts the whole row).
+    q_sg, ref_sg = jax.lax.stop_gradient(q), jax.lax.stop_gradient(ref)
+    d2_full = (jnp.sum(q_sg * q_sg, axis=-1, keepdims=True)
+               + jnp.sum(ref_sg * ref_sg, axis=-1)[None, :]
+               - 2.0 * jnp.dot(q_sg, ref_sg.T,
+                               preferred_element_type=jnp.float32))
     d2_full = jnp.maximum(d2_full, 0.0)
     d2_full = jnp.where(params.alive[None, :], d2_full, jnp.inf)
-    neg, idx = jax.lax.top_k(-d2_full, K)
-    nn_dist = jnp.take_along_axis(d2_full, idx, axis=1)   # differentiable
+    cols = jnp.arange(d2_full.shape[1], dtype=jnp.int32)[None, :]
+    idxs = []
+    for _ in range(K):
+        i = jnp.argmin(d2_full, axis=1).astype(jnp.int32)
+        idxs.append(i)
+        d2_full = jnp.where(cols == i[:, None], jnp.inf, d2_full)
+    idx = jnp.stack(idxs, axis=-1)                        # [N,K]
+    # differentiable distances recomputed ONLY at the K selected nodes
+    # (grads w.r.t. hyper coords flow exactly as in the reference's
+    # differentiable knn_points distances, time_utils.py:934-967)
+    diff = q[:, None, :] - ref[idx]                       # [N,K,D]
+    nn_dist = jnp.sum(diff * diff, axis=-1)               # [N,K]
 
     r = jnp.exp(params.node_radius)[idx]                  # [N,K]
     w = jnp.exp(-nn_dist / (2.0 * r * r))

@@ -70,12 +70,30 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
     pair_ok = valid[:, None] & (slot < (rw_c * rh_c)[:, None])
     tile = jnp.where(pair_ok, ty * grid_x + tx, num_tiles).astype(jnp.int32)
 
-    gid = jnp.broadcast_to(order[:, None], (n, r_cap)).astype(jnp.int32)
-    # flattened depth-major emission; stable sort by tile id keeps depth
-    # order inside each tile (CUDA key = tile<<32 | depth bits)
-    sorted_tile, sorted_gid, sorted_ok = jax.lax.sort(
-        (tile.ravel(), gid.ravel(), pair_ok.ravel()),
-        num_keys=1, is_stable=True)
+    # flattened depth-major emission; sort by tile id, depth order inside
+    # each tile preserved (CUDA key = tile<<32 | depth bits).  When the
+    # (tile, depth-rank) pair fits in 31 bits, sort ONE fused int32 key
+    # (unique => no stability needed, no payload movement); otherwise
+    # fall back to a stable 3-operand sort.
+    rank_bits = max((n - 1).bit_length(), 1)
+    tile_bits = (num_tiles + 1).bit_length()
+    rank = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, r_cap))
+    if rank_bits + tile_bits <= 31:
+        key = tile * jnp.int32(1 << rank_bits) + rank
+        # barriers keep the sort and the id-gather as standalone kernels
+        # (XLA's fused forms are far off their fast paths at this size)
+        skey = jax.lax.optimization_barrier(
+            jax.lax.sort(key.ravel(), is_stable=False))
+        sorted_tile = skey >> rank_bits
+        sorted_gid = jax.lax.optimization_barrier(
+            order[skey & jnp.int32((1 << rank_bits) - 1)])
+        sorted_ok = sorted_tile < num_tiles
+    else:
+        gid = order[rank]
+        sorted_tile, sorted_gid, sorted_ok = jax.lax.sort(
+            (tile.ravel(), gid.ravel(), pair_ok.ravel()),
+            num_keys=1, is_stable=True)
 
     tile_edges = jnp.searchsorted(
         sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"

@@ -320,6 +320,230 @@ def _bwd_call(num_tiles: int, gx: int, n_chunks: int, interpret: bool):
     )
 
 
+# ======================================================================
+# Work-queue variant: one grid step per ACTUAL chunk of binned pairs.
+#
+# The (tile, chunk) grid above streams tile_cap/CHUNK blocks for every
+# tile, even near-empty ones, and needs a dense [T, tile_cap, NFEAT]
+# gather (~184 MB at 800x800) whose autodiff transpose is a giant
+# scatter-add.  The CUDA rasterizer only ever touches the ~num_pairs
+# sorted records (rasterizer_impl.cu:196-342).  This variant restores
+# that economics on TPU:
+#
+#   * pairs are gathered into a compact, chunk-aligned [W*CHUNK, NFEAT]
+#     buffer (W = ceil(count_t/CHUNK) summed over tiles, statically
+#     capped by cfg.pair_cap),
+#   * a 1-D grid walks work items; scalar-prefetched work->tile /
+#     first / last maps drive the BlockSpec index_maps,
+#   * the OUTPUT block doubles as the tile accumulator: consecutive
+#     work items of one tile map to the same out block, so Mosaic keeps
+#     it resident in VMEM (revisiting) and copies it back once per tile,
+#   * the backward walks the queue in reverse, re-materializing chunk
+#     pre-state from the saved NCARRY carry rows exactly like the
+#     (tile, chunk) kernel, emitting per-pair gradients into the same
+#     compact layout; the cross-tile reduction is the (now ~4x smaller)
+#     scatter-add transpose of the compact gather.
+# ======================================================================
+
+
+def build_work_queue(feats: jnp.ndarray, binning, num_tiles: int,
+                     cfg: RasterConfig):
+    """Compact chunk-aligned pair gather + work-item maps.
+
+    Returns (gdata [W, CHUNK, NFEAT], work_tile [W] i32 (num_tiles =
+    padding), first [W] i32, last [W] i32, overflow scalar i32).
+    Differentiable in `feats`; the gather transpose is the segment-sum
+    of per-pair gradients (CUDA atomicAdd analogue).
+    """
+    w_cap = cfg.pair_cap // CHUNK
+    n_pairs = binning.pair_gid.shape[0]
+    counts = jnp.minimum(binning.tile_count, cfg.tile_cap).astype(jnp.int32)
+    nch = (counts + CHUNK - 1) // CHUNK                       # [T]
+    work_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nch, dtype=jnp.int32)])
+    total_work = work_start[-1]
+    overflow = jnp.maximum(total_work - w_cap, 0)
+
+    w = jnp.arange(w_cap, dtype=jnp.int32)
+    wt = jnp.clip(jnp.searchsorted(work_start, w, side="right") - 1,
+                  0, num_tiles - 1).astype(jnp.int32)         # [W]
+    wc = w - work_start[wt]                                   # chunk-in-tile
+    pad = w >= total_work
+    first = ((wc == 0) & ~pad).astype(jnp.int32)
+    last = ((wc == nch[wt] - 1) & ~pad).astype(jnp.int32)
+    work_tile = jnp.where(pad, num_tiles, wt).astype(jnp.int32)
+
+    base = binning.tile_start[wt] + wc * CHUNK                # [W]
+    slots = base[:, None] + jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
+    ok = (jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
+          < (counts[wt] - wc * CHUNK)[:, None]) & ~pad[:, None]
+    slots = jnp.clip(slots, 0, n_pairs - 1)
+    # optimization_barrier: keep each gather its own kernel — XLA's TPU
+    # gather has a fast DMA path that fusing with producers/consumers
+    # falls off of (measured ~40x slower fused at this size)
+    gids = jax.lax.optimization_barrier(binning.pair_gid[slots])
+    g = jax.lax.optimization_barrier(feats[gids])             # [W,CHUNK,NFEAT]
+    g = jnp.where(ok[..., None], g, 0.0)
+    return g, work_tile, first, last, overflow
+
+
+def _fwd_wq_kernel(tile_ref, first_ref, last_ref, gdata_ref, out_ref,
+                   carry_ref, *, gx, num_tiles):
+    w = pl.program_id(0)
+
+    @pl.when(first_ref[w] == 1)
+    def _():
+        out_ref[0] = jnp.concatenate(
+            [jnp.ones((1, PIX), jnp.float32),
+             jnp.zeros((NSTATE - 1, PIX), jnp.float32)], axis=0)
+
+    # pre-chunk carry rows for the backward re-walk
+    carry_ref[0] = out_ref[0, 0:NCARRY]
+
+    t = tile_ref[w]
+    all_done = jnp.all(out_ref[0, ROW_DONE:ROW_DONE + 1] > 0.5)
+    active = jnp.logical_and(t < num_tiles, jnp.logical_not(all_done))
+
+    @pl.when(active)
+    def _():
+        px, py = _tile_pix(t, gx)
+        out_ref[0] = _chunk_step(out_ref[0], gdata_ref[0], px, py)
+
+
+def _bwd_wq_kernel(tile_ref, first_ref, last_ref, gdata_ref, carries_ref,
+                   gout_ref, dg_ref, gst_ref, *, gx, num_tiles, w_cap):
+    i = pl.program_id(0)
+    w = w_cap - 1 - i
+
+    @pl.when(last_ref[w] == 1)
+    def _():
+        g0 = gout_ref[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (NSTATE, PIX), 0)
+        dead = ((rows == ROW_DONE) | (rows == ROW_D1) | (rows == ROW_D2)
+                | (rows >= 14))
+        gst_ref[:] = jnp.where(dead, 0.0, g0)
+
+    t = tile_ref[w]
+    saved = carries_ref[0]                                    # [NCARRY, PIX]
+    all_done = jnp.all(saved[ROW_DONE:ROW_DONE + 1] > 0.5)
+    active = jnp.logical_and(t < num_tiles, jnp.logical_not(all_done))
+
+    @pl.when(active)
+    def _():
+        px, py = _tile_pix(t, gx)
+        st_c = jnp.concatenate(
+            [saved, jnp.zeros((NSTATE - NCARRY, PIX), jnp.float32)], axis=0)
+        fun = lambda s, fe: _chunk_step(s, fe, px, py)
+        _, vjp = jax.vjp(fun, st_c, gdata_ref[0])
+        g_st, g_feats = vjp(gst_ref[:])
+        rows = jax.lax.broadcasted_iota(jnp.int32, (NSTATE, PIX), 0)
+        gst_ref[:] = jnp.where(rows == ROW_DONE, 0.0, g_st)
+        dg_ref[0] = g_feats
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        dg_ref[0] = jnp.zeros((CHUNK, NFEAT), jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_wq_call(num_tiles: int, gx: int, w_cap: int, interpret: bool):
+    kern = functools.partial(_fwd_wq_kernel, gx=gx, num_tiles=num_tiles)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,          # work_tile, first, last in SMEM
+        grid=(w_cap,),
+        in_specs=[
+            pl.BlockSpec((1, CHUNK, NFEAT), lambda w, *_: (w, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, NSTATE, PIX),
+                         lambda w, tile_ref, *_: (tile_ref[w], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NCARRY, PIX), lambda w, *_: (w, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles + 1, NSTATE, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((w_cap, NCARRY, PIX), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_wq_call(num_tiles: int, gx: int, w_cap: int, interpret: bool):
+    kern = functools.partial(_bwd_wq_kernel, gx=gx, num_tiles=num_tiles,
+                             w_cap=w_cap)
+    rev = lambda i: w_cap - 1 - i
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(w_cap,),
+        in_specs=[
+            pl.BlockSpec((1, CHUNK, NFEAT), lambda i, *_: (rev(i), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NCARRY, PIX), lambda i, *_: (rev(i), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NSTATE, PIX),
+                         lambda i, tile_ref, *_: (tile_ref[rev(i)], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, CHUNK, NFEAT),
+                               lambda i, *_: (rev(i), 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((NSTATE, PIX), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((w_cap, CHUNK, NFEAT), jnp.float32),
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def blend_tiles_wq(gdata, work_tile, first, last, num_tiles: int, gx: int,
+                   w_cap: int):
+    """Work-queue blend: compact [W, CHUNK, NFEAT] pair features ->
+    [num_tiles, NSTATE, PIX] blended state rows (empty tiles = init
+    state)."""
+    out, _ = _fwd_wq_call(num_tiles, gx, w_cap, not _is_tpu())(
+        work_tile, first, last, gdata)
+    return _fix_empty_tiles(out[:num_tiles], work_tile, first, num_tiles)
+
+
+def _fix_empty_tiles(out, work_tile, first, num_tiles):
+    """Tiles with no work items never get written: substitute the init
+    state (T=1, all accumulators 0)."""
+    has = jnp.zeros((num_tiles + 1,), jnp.bool_).at[work_tile].set(
+        True, mode="drop")[:num_tiles]
+    init = jnp.concatenate(
+        [jnp.ones((1,), jnp.float32), jnp.zeros((NSTATE - 1,), jnp.float32)])
+    return jnp.where(has[:, None, None], out, init[None, :, None])
+
+
+def _blend_wq_fwd(gdata, work_tile, first, last, num_tiles, gx, w_cap):
+    out, carries = _fwd_wq_call(num_tiles, gx, w_cap, not _is_tpu())(
+        work_tile, first, last, gdata)
+    fixed = _fix_empty_tiles(out[:num_tiles], work_tile, first, num_tiles)
+    return fixed, (gdata, work_tile, first, last, carries)
+
+
+def _blend_wq_bwd(num_tiles, gx, w_cap, res, g_out):
+    gdata, work_tile, first, last, carries = res
+    g_pad = jnp.concatenate(
+        [g_out, jnp.zeros((1,) + g_out.shape[1:], g_out.dtype)], axis=0)
+    dg = _bwd_wq_call(num_tiles, gx, w_cap, not _is_tpu())(
+        work_tile, first, last, gdata, carries, g_pad)
+    return (dg, None, None, None)
+
+
+blend_tiles_wq.defvjp(_blend_wq_fwd, _blend_wq_bwd)
+
+
 def build_gdata(feats: jnp.ndarray, binning, num_tiles: int,
                 cfg: RasterConfig):
     """Gather per-pair features into the dense [T, cap, NFEAT] tensor.

@@ -88,8 +88,9 @@ def blend_tiles(Tmat, center, normal, colors, opacity, binning: Binning,
 
     Returns (tile_color [T,P,3], tile_allmap [T,P,8]).
     """
-    from .pallas.blend_tpu import (NFEAT, _is_tpu, blend_tiles_pallas,
-                                   build_gdata)
+    from .pallas.blend_tpu import (CHUNK, NFEAT, _is_tpu, blend_tiles_pallas,
+                                   blend_tiles_wq, build_gdata,
+                                   build_work_queue)
     if (cfg.use_pallas and cfg.tile_cap % 128 == 0
             and (_is_tpu() or cfg.pallas_interpret)):
         n = Tmat.shape[0]
@@ -98,9 +99,15 @@ def blend_tiles(Tmat, center, normal, colors, opacity, binning: Binning,
             axis=-1)
         assert feats.shape[-1] == NFEAT
         num_tiles = grid_x * grid_y
-        gdata, counts = build_gdata(feats, binning, num_tiles, cfg)
-        out = blend_tiles_pallas(gdata, counts, num_tiles, grid_x,
-                                 cfg.tile_cap // 128)
+        if cfg.use_workqueue and cfg.pair_cap % CHUNK == 0:
+            gdata, work_tile, first, last, _ = build_work_queue(
+                feats, binning, num_tiles, cfg)
+            out = blend_tiles_wq(gdata, work_tile, first, last,
+                                 num_tiles, grid_x, cfg.pair_cap // CHUNK)
+        else:
+            gdata, counts = build_gdata(feats, binning, num_tiles, cfg)
+            out = blend_tiles_pallas(gdata, counts, num_tiles, grid_x,
+                                     cfg.tile_cap // 128)
         st = jnp.swapaxes(out, 1, 2)                    # [T, PIX, NSTATE]
         tile_color = st[..., 4:7]
         tile_allmap = jnp.concatenate([

@@ -77,6 +77,15 @@ class TrainConfig:
     lambda_node_arap: float = 1e-2
     no_arap_loss: bool = False
 
+    # motion-mask loss (train_gui.py:363-370 main stage, 509-515 stage 1;
+    # schedule arguments/__init__.py:149-151).  Requires per-view gt alpha
+    # masks; trains the per-Gaussian motion-mask logits to match the
+    # dynamic-region mask via a detached-geometry render.
+    gt_alpha_mask_as_dynamic_mask: bool = False
+    no_motion_mask_loss: bool = False
+    lambda_motion_mask_landmarks: tuple = (5e-1, 1e-2, 0.0)
+    lambda_motion_mask_steps: tuple = (0, 10_000, 10_001)
+
     raster: RasterConfig = RasterConfig()
 
     @property

@@ -108,9 +108,13 @@ def init_train_state(key, cfg: TrainConfig, init_points: np.ndarray,
     # stage-1 isotropic Gaussians on the node positions
     # (init_gaussians, time_utils.py:1258-1266: sh_degree 0, colors zero)
     node_xyz = np.asarray(nodes.nodes[:, :3])
+    # stage-1 node-Gaussians carry motion-mask logits only when the
+    # dynamic-mask supervision is on (time_utils.py:1248-1256
+    # init_gaussians with_motion_mask; blender as_gaussians uses False)
     ngauss = create_from_pcd(node_xyz, np.full_like(node_xyz, 0.5),
                              cfg.node_gauss_capacity, sh_degree=0,
-                             fea_dim=0, with_motion_mask=False,
+                             fea_dim=0,
+                             with_motion_mask=cfg.gt_alpha_mask_as_dynamic_mask,
                              isotropic=True)
     return TrainState(
         gauss=gauss, gauss_opt=adam_init(gauss_trainable(gauss)),
@@ -126,9 +130,10 @@ def init_train_state(key, cfg: TrainConfig, init_points: np.ndarray,
 # Stage 1: node pre-training (train_node_rendering_step, train_gui.py:441-599)
 # ----------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "motion_loss"))
 def node_stage_step(state: TrainState, cam: Camera, gt: jnp.ndarray,
-                    cfg: TrainConfig, sched: dict):
+                    cfg: TrainConfig, sched: dict, gt_alpha=None,
+                    motion_loss: bool = False):
     """sched: dict of traced scalars {warm (0/1 — before node_warm_up),
     reg_on (0/1), deform_lr, xyz_lr, time_interval}."""
     key, k_arap, k_el, k_acc = jax.random.split(state.key, 4)
@@ -152,6 +157,10 @@ def node_stage_step(state: TrainState, cam: Camera, gt: jnp.ndarray,
         ll1 = l1(out.image, gt)
         loss = ((1.0 - cfg.lambda_dssim) * ll1
                 + cfg.lambda_dssim * (1.0 - ssim(out.image, gt)))
+        if motion_loss:
+            # stage-1 motion-mask loss, weight 1 (train_gui.py:509-515)
+            loss = loss + sched["reg_on"] * motion_mask_loss(
+                ngauss, cam, gt_alpha, bg, cfg, d={"d_xyz": d_xyz})
         reg = (cfg.lambda_elastic * R.elastic_loss(
                    nodes, cfg.node_cfg, k_el, t=cam.time,
                    delta_t=sched["time_interval"])
@@ -197,6 +206,30 @@ def node_stage_step(state: TrainState, cam: Camera, gt: jnp.ndarray,
 # Stage 2: main training (train_step, train_gui.py:215-438)
 # ----------------------------------------------------------------------
 
+def motion_mask_loss(gauss: GaussianParams, cam: Camera,
+                     gt_alpha: jnp.ndarray, bg: jnp.ndarray,
+                     cfg: TrainConfig, d: dict | None = None):
+    """Motion-mask supervision (train_gui.py:363-370 / 509-515 +
+    render_motion at gaussian_renderer/__init__.py:103-107): render with
+    override colors [mask, 0, 1-mask] on fully-detached geometry and L1
+    channel 0 against the gt alpha mask — gradients flow only into the
+    per-Gaussian motion-mask logits."""
+    sg = jax.lax.stop_gradient
+    g_det = dataclasses.replace(
+        gauss, xyz=sg(gauss.xyz), rotation=sg(gauss.rotation),
+        scaling=sg(gauss.scaling), opacity=sg(gauss.opacity))
+    mm = g_det.motion_mask
+    override = jnp.concatenate([mm, jnp.zeros_like(mm), 1.0 - mm], axis=-1)
+    kw = {}
+    if d is not None:
+        for k in ("d_xyz", "d_rotation", "d_scaling"):
+            if d.get(k) is not None:
+                kw[k] = sg(d[k])
+    out = render(cam, g_det, bg, override_color=override, cfg=cfg.raster,
+                 **kw)
+    return l1(out.image[..., 0], gt_alpha[..., 0])
+
+
 def photometric_loss(gauss: GaussianParams, nodes: NodeParams, cam: Camera,
                      gt: jnp.ndarray, probe, cfg: TrainConfig, sched: dict,
                      bg: jnp.ndarray):
@@ -229,11 +262,13 @@ def photometric_loss(gauss: GaussianParams, nodes: NodeParams, cam: Camera,
     return loss, (out, ll1)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "motion_loss"))
 def main_stage_step(state: TrainState, cam: Camera, gt: jnp.ndarray,
-                    cfg: TrainConfig, sched: dict):
+                    cfg: TrainConfig, sched: dict, gt_alpha=None,
+                    motion_loss: bool = False):
     """sched scalars: warm (0/1 — iter < warm_up), lambda_normal,
-    lambda_dist, lambda_arap, deform_lr, xyz_lr."""
+    lambda_dist, lambda_arap, deform_lr, xyz_lr (+ lambda_motion when
+    motion_loss)."""
     key, k_arap = jax.random.split(state.key)
     bg = jnp.where(cfg.white_background, 1.0, 0.0) * jnp.ones(3)
 
@@ -245,6 +280,12 @@ def main_stage_step(state: TrainState, cam: Camera, gt: jnp.ndarray,
         # deform ARAP reg (time_utils.py:1228-1232), gated by warm-up
         loss = loss + (1.0 - sched["warm"]) * sched["lambda_arap"] * \
             R.arap_loss(nodes, cfg.node_cfg, k_arap)
+        if motion_loss:
+            # motion-mask loss (train_gui.py:363-370), landmark-scheduled
+            d = warp(nodes, cfg.node_cfg, gauss.xyz, cam.time,
+                     feature=gauss.feature, motion_mask=gauss.motion_mask)
+            loss = loss + sched["lambda_motion"] * motion_mask_loss(
+                gauss, cam, gt_alpha, bg, cfg, d=d)
         return loss, (out, ll1)
 
     grads, (out, ll1) = jax.grad(loss_fn, argnums=(0, 1, 2, 3),
@@ -409,11 +450,16 @@ class Trainer:
 
     def __init__(self, cfg: TrainConfig, cameras, images,
                  init_points, init_colors, cameras_extent: float = 5.0,
-                 seed: int = 0, log_fn=None):
-        """cameras: list[Camera]; images: list of [H,W,3] float arrays."""
+                 seed: int = 0, log_fn=None, alphas=None):
+        """cameras: list[Camera]; images: list of [H,W,3] float arrays;
+        alphas: optional list of [H,W,1] gt alpha masks (enables the
+        motion-mask loss when cfg.gt_alpha_mask_as_dynamic_mask)."""
         self.cfg = cfg
         self.cameras = cameras
         self.images = [jnp.asarray(im, jnp.float32) for im in images]
+        self.alphas = (None if alphas is None else
+                       [None if a is None else jnp.asarray(a, jnp.float32)
+                        for a in alphas])
         self.extent = float(cameras_extent)
         self.state = init_train_state(jax.random.PRNGKey(seed), cfg,
                                       init_points, init_colors)
@@ -496,13 +542,28 @@ class Trainer:
                      * self.smooth_term(self.iteration))
             cam = dataclasses.replace(
                 cam, time=cam.time + jnp.float32(noise))
-        return cam, img
+        alpha = None if self.alphas is None else self.alphas[i]
+        return cam, img, alpha
+
+    def _motion_lambda(self, it: int) -> float:
+        """Landmark-scheduled motion-mask loss weight
+        (arguments/__init__.py:149-151); 0 disables the loss render."""
+        cfg = self.cfg
+        if (not cfg.gt_alpha_mask_as_dynamic_mask or cfg.no_motion_mask_loss
+                or self.alphas is None):
+            return 0.0
+        return float(R.landmark_interpolate(
+            cfg.lambda_motion_mask_landmarks, cfg.lambda_motion_mask_steps,
+            step=max(0, it)))
 
     # --- stage 1 ---
     def node_stage_iteration(self):
         cfg = self.cfg
         it = self.iteration_node
-        cam, gt = self._pick_camera()
+        cam, gt, alpha = self._pick_camera()
+        motion = (self._motion_lambda(0) > 0 and alpha is not None
+                  and it > cfg.node_warm_up
+                  and self.state.ngauss.with_motion_mask)
         sched = dict(
             warm=jnp.float32(1.0 if it < cfg.node_warm_up else 0.0),
             reg_on=jnp.float32(1.0 if it > cfg.node_warm_up else 0.0),
@@ -513,8 +574,9 @@ class Trainer:
         # at the sampling/downsample boundary no optimizer step is taken
         # (train_gui.py:584-591); we simply skip the train step there.
         if it != cfg.iterations_node_sampling:
-            self.state, metrics = node_stage_step(self.state, cam, gt,
-                                                  cfg, sched)
+            self.state, metrics = node_stage_step(
+                self.state, cam, gt, cfg, sched,
+                gt_alpha=alpha if motion else None, motion_loss=motion)
         else:
             metrics = {}
 
@@ -541,9 +603,11 @@ class Trainer:
         it = self.iteration
         if it % cfg.oneup_sh_degree_step == 0:
             self.state = oneup_sh(self.state, cfg)
-        cam, gt = self._pick_camera()
+        cam, gt, alpha = self._pick_camera()
         lam_arap = R.landmark_interpolate(
             *cfg.node_cfg.lambda_arap_schedule, step=max(0, it))
+        lam_motion = self._motion_lambda(it)
+        motion = lam_motion > 0 and alpha is not None
         sched = dict(
             warm=jnp.float32(1.0 if it < cfg.warm_up else 0.0),
             lambda_normal=jnp.float32(
@@ -554,8 +618,11 @@ class Trainer:
             deform_lr=self.deform_sched(it),
             xyz_lr=self.xyz_sched(it),
         )
-        self.state, metrics = main_stage_step(self.state, cam, gt, cfg,
-                                              sched)
+        if motion:
+            sched["lambda_motion"] = jnp.float32(lam_motion)
+        self.state, metrics = main_stage_step(
+            self.state, cam, gt, cfg, sched,
+            gt_alpha=alpha if motion else None, motion_loss=motion)
 
         if it < cfg.densify_until_iter:
             if (it == cfg.node_force_densify_prune_step

@@ -50,9 +50,11 @@ def test_render_mesh_occlusion():
                                    bg=jnp.zeros(3))
     img = np.asarray(img)
     assert np.allclose(img[24, 24], [1, 0, 0], atol=1e-3), img[24, 24]
-    # a pixel covered only by the big far quad is green
-    got_green = np.allclose(img[8, 24], [0, 1, 0], atol=1e-3)
-    assert got_green, img[8, 24]
+    # geometry: f = 24/tan(0.4) = 56.67; near quad (depth 3) spans
+    # 24 +- 5.67 px, far quad (depth 4) spans 24 +- 8.5 px.  Row 17 is
+    # inside the far quad but outside the near one -> green.
+    got_green = np.allclose(img[17, 24], [0, 1, 0], atol=1e-3)
+    assert got_green, img[17, 24]
 
 
 def test_render_mesh_interpolates_vertex_colors():
@@ -62,8 +64,10 @@ def test_render_mesh_interpolates_vertex_colors():
                     np.float32)
     img, _, mask = render_mesh(cam, verts, faces, cols, bg=jnp.zeros(3))
     img = np.asarray(img)
-    center = img[32, 32]
-    # center of the quad: mix of the corner colors, not any pure corner
+    # (32, 32) sits 0.5 px from the quad diagonal where the green
+    # barycentric weight is legitimately ~0; probe a pixel well inside
+    # triangle (0, 2, 3) instead, where all corner colors mix.
+    center = img[32, 22]
     assert 0.05 < center.min() and center.max() < 0.95, center
 
 

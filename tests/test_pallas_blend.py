@@ -32,9 +32,15 @@ def _scene(seed=0):
 
 
 def _cfg(**kw):
-    base = dict(tile_cap=256, chunk=64, max_tiles_per_gaussian=32)
+    base = dict(tile_cap=256, chunk=64, max_tiles_per_gaussian=32,
+                pair_cap=4096)
     base.update(kw)
     return RasterConfig(**base)
+
+
+# both Pallas variants: the dense (tile, chunk) grid kernel and the
+# work-queue kernel (one grid step per actual chunk)
+WQ = [False, True]
 
 
 @pytest.fixture(scope="module")
@@ -42,14 +48,15 @@ def scene():
     return _scene()
 
 
-def test_forward_parity(scene):
+@pytest.mark.parametrize("wq", WQ)
+def test_forward_parity(scene, wq):
     means, scales, quats, opac, colors, cam = scene
     bg = jnp.array([0.2, 0.1, 0.4])
     cx, ax, *_ = rasterize_tiled(means, scales, quats, opac, colors, cam,
                                  bg, cfg=_cfg(use_pallas=False))
     cp, ap, *_ = rasterize_tiled(
         means, scales, quats, opac, colors, cam, bg,
-        cfg=_cfg(use_pallas=True, pallas_interpret=True))
+        cfg=_cfg(use_pallas=True, pallas_interpret=True, use_workqueue=wq))
     np.testing.assert_allclose(np.asarray(cp), np.asarray(cx),
                                rtol=1e-5, atol=1e-5)
     # allmap: depth-acc, alpha, normal, median depth, distortion, med weight
@@ -57,7 +64,8 @@ def test_forward_parity(scene):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_gradient_parity(scene):
+@pytest.mark.parametrize("wq", WQ)
+def test_gradient_parity(scene, wq):
     means, scales, quats, opac, colors, cam = scene
     bg = jnp.array([0.0, 0.0, 0.0])
     tgt = jnp.linspace(0, 1, H * W * 3).reshape(H, W, 3)
@@ -72,8 +80,8 @@ def test_gradient_parity(scene):
 
     params = (means, scales, quats, opac, colors)
     gx = jax.grad(loss)(params, _cfg(use_pallas=False))
-    gp = jax.grad(loss)(params, _cfg(use_pallas=True,
-                                     pallas_interpret=True))
+    gp = jax.grad(loss)(params, _cfg(use_pallas=True, pallas_interpret=True,
+                                     use_workqueue=wq))
     for a, b, name in zip(gp, gx, "msqoc"):
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(b).max() + 1e-8
@@ -81,7 +89,8 @@ def test_gradient_parity(scene):
                                    atol=2e-5, err_msg=f"grad {name}")
 
 
-def test_early_termination_and_overflow(scene):
+@pytest.mark.parametrize("wq", WQ)
+def test_early_termination_and_overflow(scene, wq):
     """Opaque stacked splats: early-exit path; tiny cap: overflow path."""
     means, scales, quats, opac, colors, cam = scene
     opac = jnp.ones_like(opac) * 0.999    # saturate T quickly
@@ -90,8 +99,23 @@ def test_early_termination_and_overflow(scene):
                                  bg, cfg=_cfg(use_pallas=False, tile_cap=128))
     cp, ap, *_ = rasterize_tiled(
         means, scales, quats, opac, colors, cam, bg,
-        cfg=_cfg(use_pallas=True, pallas_interpret=True, tile_cap=128))
+        cfg=_cfg(use_pallas=True, pallas_interpret=True, tile_cap=128,
+                 use_workqueue=wq))
     np.testing.assert_allclose(np.asarray(cp), np.asarray(cx),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ap), np.asarray(ax),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_workqueue_empty_scene():
+    """All Gaussians culled: every tile must render exactly background."""
+    means, scales, quats, opac, colors, cam = _scene()
+    means = means + jnp.array([0.0, 0.0, 100.0])   # far behind the camera
+    bg = jnp.array([0.3, 0.6, 0.9])
+    c, a, *_ = rasterize_tiled(
+        means, scales, quats, opac, colors, cam, bg,
+        cfg=_cfg(use_pallas=True, pallas_interpret=True, use_workqueue=True))
+    np.testing.assert_allclose(np.asarray(c),
+                               np.broadcast_to(np.asarray(bg), (H, W, 3)),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a[..., 1]), 0.0, atol=1e-6)

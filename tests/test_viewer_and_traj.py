@@ -49,11 +49,14 @@ def test_viewer_roundtrip():
         seen["sm"] = scaling_modifier
         return jnp.full((cam.H, cam.W, 3), 0.5)
 
-    # poll until the round-trip completes (first polls may race the accept)
-    for _ in range(200):
-        st = srv.poll(render_fn)
-        if "img" in got:
-            break
+    # poll until the round-trip completes (first polls may race the
+    # accept and the client thread's scheduling — wait on wall clock,
+    # not a fixed poll count)
+    import time
+    deadline = time.time() + 20.0
+    while time.time() < deadline and "img" not in got:
+        srv.poll(render_fn)
+        time.sleep(0.005)
     t.join(timeout=10)
     srv.close()
     assert got["echo"] == "scene"
