@@ -97,5 +97,77 @@ def main():
     }))
 
 
+def main_scaling():
+    """Scaling harness (BASELINE.md north star: rays/s at 1 chip / 1 host
+    / N hosts).  Real N-chip hardware is unavailable here, so beyond the
+    single-chip number this measures the gauss-sharded training step —
+    with the distributed tile-binning all_to_all exchange — on simulated
+    device meshes, reporting per-mesh step wall time, exchange overflow,
+    and gradient-path health.  One JSON line per mesh size."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from d2dgs_tpu.parallel import (make_gauss_mesh,
+                                    make_gauss_sharded_step,
+                                    shard_gauss_state)
+    from d2dgs_tpu.train.trainer import init_train_state
+    from d2dgs_tpu.data.cameras import orbit_camera
+
+    n_dev_all = len(jax.devices())
+    Hs = Ws = 256
+    Ns = 20_000
+    cfg = TrainConfig(gaussian_capacity=Ns, node_num=128,
+                      raster=RasterConfig(tile_cap=512, chunk=128,
+                                          pair_cap=1 << 16,
+                                          use_pallas=False))
+    key = jax.random.PRNGKey(0)
+    pts = np.asarray(jax.random.normal(key, (Ns, 3)) * 0.4)
+    cols = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (Ns, 3)))
+    base_state = init_train_state(key, cfg, pts, cols)
+    base_state = dataclasses.replace(
+        base_state,
+        gauss=dataclasses.replace(
+            base_state.gauss,
+            scaling=jnp.full_like(base_state.gauss.scaling,
+                                  np.log(8e-3))))
+    cam = orbit_camera(0.3, 0.25, 4.0, fov=0.69, H=Hs, W=Ws, time=0.5)
+    gt = jnp.zeros((Hs, Ws, 3), jnp.float32)
+    sched = dict(warm=jnp.float32(0.0), deform_lr=jnp.float32(1e-3),
+                 xyz_lr=jnp.float32(1e-4))
+
+    sizes = [d for d in (1, 2, 4, 8) if d <= n_dev_all]
+    for nd in sizes:
+        mesh = make_gauss_mesh(nd)
+        state = shard_gauss_state(mesh, base_state)
+        step = make_gauss_sharded_step(mesh, cfg, exchange_cap=8192)
+        s2, m = step(state, cam, gt, sched)
+        jax.block_until_ready(s2)
+        t0 = time.time()
+        iters = 3
+        for _ in range(iters):
+            s2, m = step(state, cam, gt, sched)
+        jax.block_until_ready(s2)
+        dt = (time.time() - t0) / iters
+        print(json.dumps({
+            "metric": f"gauss-sharded step {nd}dev "
+                      f"({jax.devices()[0].platform})",
+            "value": round(Hs * Ws / dt, 1),
+            "unit": "rays/s",
+            "vs_baseline": 0.0,
+            "detail": {"step_ms": round(dt * 1e3, 2),
+                       "overflow": int(m["overflow"]),
+                       "loss": float(m["loss"]),
+                       "n_devices": nd}}))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    from d2dgs_tpu.parallel.multihost import maybe_init_distributed
+    maybe_init_distributed()
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main()

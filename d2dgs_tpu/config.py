@@ -45,7 +45,7 @@ class RasterConfig:
     # this are clamped around the rect center (the reference prunes splats
     # with screen radius > 20px during training, so post-warmup this never
     # binds at the default).
-    max_tiles_per_gaussian: int = 64
+    max_tiles_per_gaussian: int = 32
     # Gaussians are staged through the blend loop in chunks of this size
     # (the TPU analogue of the CUDA 256-thread shared-memory batches).
     chunk: int = 128

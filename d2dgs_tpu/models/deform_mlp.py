@@ -29,6 +29,11 @@ class MLPConfig:
     pred_color: bool = False
     max_d_scale: float = -1.0
     time_out: int = 30
+    # ProgressiveBandFrequency time annealing (time_utils.py:259-286):
+    # when on, the time embedding is sin/cos bands only (no identity
+    # term) with a cosine ramp mask driven by the training step.
+    progressive_band_time: bool = False
+    freq_masking_steps: int = 5000
 
     @property
     def t_multires(self) -> int:
@@ -54,6 +59,22 @@ def positional_encoding(x: jnp.ndarray, multires: int) -> jnp.ndarray:
     return jnp.concatenate([x, enc.reshape(*x.shape[:-1], -1)], axis=-1)
 
 
+def progressive_band_encoding(x: jnp.ndarray, multires: int, step,
+                              masking_steps: int) -> jnp.ndarray:
+    """ProgressiveBandFrequency (time_utils.py:259-286): sin/cos bands
+    ONLY (no identity term), each frequency gated by a cosine ramp of the
+    traced training `step` — low frequencies first."""
+    freqs = 2.0 ** jnp.arange(multires, dtype=x.dtype)
+    ramp = jnp.clip(jnp.asarray(step, x.dtype)
+                    / max(masking_steps, 1) * multires
+                    - jnp.arange(multires, dtype=x.dtype), 0.0, 1.0)
+    mask = (1.0 - jnp.cos(jnp.pi * ramp)) / 2.0       # [F]
+    ang = x[..., None, :] * freqs[:, None]            # [..., F, d]
+    enc = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)],
+                          axis=-1) * mask[:, None]    # [..., F, 2d]
+    return enc.reshape(*x.shape[:-1], -1)
+
+
 def _kaiming_uniform(key, fan_in, fan_out):
     bound = np.sqrt(6.0 / fan_in)   # gain sqrt(2) * sqrt(3/fan_in)
     return jax.random.uniform(key, (fan_in, fan_out), minval=-bound,
@@ -73,7 +94,8 @@ def init_mlp(key, cfg: MLPConfig) -> dict:
     params = {}
     keys = jax.random.split(key, cfg.depth + 12)
     x_ch = embed_dim(cfg.multires_x, 3)
-    t_raw_ch = embed_dim(cfg.t_multires, 1)
+    t_raw_ch = (2 * cfg.t_multires if cfg.progressive_band_time
+                else embed_dim(cfg.t_multires, 1))
     t_ch = cfg.time_out if cfg.is_blender else t_raw_ch
     in_ch = x_ch + t_ch
 
@@ -110,13 +132,18 @@ def init_mlp(key, cfg: MLPConfig) -> dict:
 
 
 def mlp_forward(params: dict, cfg: MLPConfig, x: jnp.ndarray,
-                t: jnp.ndarray) -> dict:
-    """x: [..., 3] canonical positions; t: [..., 1] timestamps.
+                t: jnp.ndarray, step=10**9) -> dict:
+    """x: [..., 3] canonical positions; t: [..., 1] timestamps; step: the
+    traced global step (drives progressive_band_time annealing only).
 
     Returns dict with d_xyz [...,3], d_rotation [...,4], d_scaling [...,2]
     and optional d_opacity/d_color/local_rotation (time_utils.py:410-453).
     """
-    t_emb = positional_encoding(t, cfg.t_multires)
+    if cfg.progressive_band_time:
+        t_emb = progressive_band_encoding(t, cfg.t_multires, step,
+                                          cfg.freq_masking_steps)
+    else:
+        t_emb = positional_encoding(t, cfg.t_multires)
     if cfg.is_blender:
         tn = params["timenet"]
         h_t = jax.nn.relu(t_emb @ tn["w0"] + tn["b0"])

@@ -131,12 +131,17 @@ def cal_nn_weight(params: NodeParams, cfg: NodeConfig, x: jnp.ndarray,
                                preferred_element_type=jnp.float32))
     d2_full = jnp.maximum(d2_full, 0.0)
     d2_full = jnp.where(params.alive[None, :], d2_full, jnp.inf)
+    # membership selection runs in bf16 (halves the [N, M] argmin-round
+    # traffic); the EXACT distances used for the weights are recomputed
+    # in f32 below, so only near-tie neighbor membership can differ
+    d2_sel = d2_full.astype(jnp.bfloat16)
     cols = jnp.arange(d2_full.shape[1], dtype=jnp.int32)[None, :]
     idxs = []
     for _ in range(K):
-        i = jnp.argmin(d2_full, axis=1).astype(jnp.int32)
+        i = jnp.argmin(d2_sel, axis=1).astype(jnp.int32)
         idxs.append(i)
-        d2_full = jnp.where(cols == i[:, None], jnp.inf, d2_full)
+        d2_sel = jnp.where(cols == i[:, None], jnp.bfloat16(jnp.inf),
+                           d2_sel)
     idx = jnp.stack(idxs, axis=-1)                        # [N,K]
     # differentiable distances recomputed ONLY at the K selected nodes
     # (grads w.r.t. hyper coords flow exactly as in the reference's
@@ -188,11 +193,40 @@ def warp(params: NodeParams, cfg: NodeConfig, x: jnp.ndarray, t,
     attrs = node_deform(params, cfg, t)
     node_trans, node_rot = attrs["d_xyz"], attrs["d_rotation"]
     node_scale = attrs["d_scaling"]
+    m = params.nodes.shape[0]
 
-    def blend(v):  # [M,C] -> [N,C]
-        return jnp.sum(v[nn_idx] * nn_weight[..., None], axis=1)
+    # K-sparse blend matrix [N, M] built from equality masks: every
+    # per-node blend becomes ONE MXU matmul Wmat @ cols instead of K-row
+    # gathers + scatter-add transposes (TPU gathers run ~1 elem/cycle;
+    # at N=100k this was the single largest cost of the warp).
+    # Differentiable w.r.t. nn_weight; nn_idx is integer/non-diff.
+    colid = jnp.arange(m, dtype=jnp.int32)[None, :]
+    Wmat = jnp.zeros((x.shape[0], m), jnp.float32)
+    for k in range(nn_idx.shape[1]):
+        Wmat = Wmat + nn_weight[:, k:k + 1] * (colid == nn_idx[:, k:k + 1])
 
-    if cfg.mlp.local_frame and cfg.skinning == "dqb":
+    cols = [node_trans, node_rot, node_scale]
+    if cfg.mlp.pred_opacity and attrs["d_opacity"] is not None:
+        cols.append(attrs["d_opacity"])
+    if cfg.mlp.pred_color and attrs["d_color"] is not None:
+        cols.append(attrs["d_color"])
+
+    use_dqb = cfg.mlp.local_frame and cfg.skinning == "dqb"
+    if cfg.mlp.local_frame and not use_dqb:
+        # rigid local frames: A_k(x) = R_k (x - p_k) + p_k + tr_k; the
+        # x-dependence factors as (sum_k w R_k) x + sum_k w_k v_k with the
+        # per-node v_k = p_k + tr_k - R_k p_k — all blendable by Wmat.
+        from ..utils.quaternion import quat_to_rotmat
+        Rl = quat_to_rotmat(attrs["local_rotation"] + ROT_BIAS)  # [M,3,3]
+        p = jax.lax.stop_gradient(params.nodes[:, :3])
+        v = p + node_trans - jnp.einsum("mij,mj->mi", Rl, p)
+        cols = [Rl.reshape(m, 9), v] + cols[1:]   # node_trans folded into v
+
+    widths = [c.shape[-1] for c in cols]
+    blended = Wmat @ jnp.concatenate(cols, axis=-1)           # [N, sum(C)]
+    parts = jnp.split(blended, np.cumsum(widths)[:-1], axis=-1)
+
+    if use_dqb:
         # dual-quaternion blend of the per-node rigid transforms
         # A_k(x) = R_k (x - p_k) + p_k + tr_k  =>  (R_k, p_k + tr_k - R_k p_k)
         from ..utils.dual_quaternion import dq_blend, quat_apply
@@ -205,32 +239,121 @@ def warp(params: NodeParams, cfg: NodeConfig, x: jnp.ndarray, t,
               - quat_apply(qk, nn_nodes))                 # [N,K,3]
         qb, tb = dq_blend(qk, tk, nn_weight)
         translate = quat_apply(qb, x) + tb - x
+        rot_b, scale_b, *rest = parts[1:]
     elif cfg.mlp.local_frame:
-        from ..utils.quaternion import quat_to_rotmat
-        local_rot = attrs["local_rotation"] + ROT_BIAS
-        Rl = quat_to_rotmat(local_rot)                    # [M,3,3]
-        nn_nodes = jax.lax.stop_gradient(params.nodes[nn_idx, :3])
-        rel = x[:, None, :] - nn_nodes                    # [N,K,3]
-        Ax = (jnp.einsum("nkab,nkb->nka", Rl[nn_idx], rel)
-              + nn_nodes + node_trans[nn_idx])
-        translate = jnp.sum(Ax * nn_weight[..., None], axis=1) - x
+        Rb = parts[0].reshape(-1, 3, 3)
+        translate = jnp.einsum("nij,nj->ni", Rb, x) + parts[1] - x
+        rot_b, scale_b, *rest = parts[2:]
     else:
-        translate = blend(node_trans)
+        translate = parts[0]
+        rot_b, scale_b, *rest = parts[1:]
     translate = translate * motion_mask
 
     if cfg.d_rot_as_res:
-        rotation = blend(node_rot) * motion_mask
+        rotation = rot_b * motion_mask
     else:
-        node_rot = node_rot + ROT_BIAS
-        rotation = (blend(node_rot) - ROT_BIAS) * motion_mask + ROT_BIAS
+        # blend(node_rot + ROT_BIAS) == rot_b + ROT_BIAS (weights sum to 1)
+        rotation = rot_b * motion_mask + ROT_BIAS
 
-    scale = blend(node_scale) * motion_mask
+    scale = scale_b * motion_mask
     out = {"d_xyz": translate, "d_rotation": rotation, "d_scaling": scale,
            "d_opacity": None, "d_color": None}
+    ri = 0
     if cfg.mlp.pred_opacity and attrs["d_opacity"] is not None:
-        out["d_opacity"] = blend(attrs["d_opacity"]) * motion_mask
+        out["d_opacity"] = rest[ri] * motion_mask
+        ri += 1
     if cfg.mlp.pred_color and attrs["d_color"] is not None:
-        out["d_color"] = blend(attrs["d_color"]) * motion_mask
+        out["d_color"] = rest[ri] * motion_mask
+    return out
+
+
+def get_trajectory(params: NodeParams, cfg: NodeConfig,
+                   t_samp_num: int = 8) -> jnp.ndarray:
+    """Node positions at linspace(0,1) timestamps, detached
+    (time_utils.py:1026-1042). Returns [M, T, 3]."""
+    m = params.nodes.shape[0]
+    t_samp = jnp.linspace(0.0, 1.0, t_samp_num)
+    t = jnp.broadcast_to(t_samp[None, :, None], (m, t_samp_num, 1))
+    d_xyz = node_deform(params, cfg, t)["d_xyz"]
+    return jax.lax.stop_gradient(params.nodes[:, None, :3] + d_xyz)
+
+
+def p2dR(params: NodeParams, cfg: NodeConfig, p: jnp.ndarray,
+         p0: jnp.ndarray, K: int = 8, mode: str = "trajectory"):
+    """SVD-fit per-node rotations from node positions
+    (time_utils.py:1044-1078): neighbors from the (hyper-)trajectory KNN
+    graph, normalized edges at rest (p0) vs deformed (p), weighted
+    covariance, dR = V U^T as quaternions.
+
+    Faithful notes: the reference weights neighbors with
+    softmax(d^2/mean(d^2)) (heavier weight on FAR neighbors) and applies
+    no det(R) sign fix; both reproduced as-is for parity.  Everything is
+    detached (torch.no_grad in all call sites)."""
+    from ..utils.quaternion import rotmat_to_quat
+    p = jax.lax.stop_gradient(p)
+    p0 = jax.lax.stop_gradient(p0)
+    if mode == "trajectory":
+        traj = get_trajectory(params, cfg, t_samp_num=4)
+        feats = traj.reshape(traj.shape[0], -1)
+    else:   # plain node-position KNN (the reference's default branch)
+        feats = jax.lax.stop_gradient(params.nodes[:, :3])
+    d2, idx = knn(feats, feats, K, exclude_self=True)
+    w = jax.nn.softmax(d2 / (jnp.mean(d2) + 1e-12), axis=-1)   # [M,K]
+    e0 = p0[idx] - p0[:, None, :]
+    et = p[idx] - p[:, None, :]
+    e0 = e0 / (jnp.linalg.norm(e0, axis=-1, keepdims=True) + 1e-5)
+    et = et / (jnp.linalg.norm(et, axis=-1, keepdims=True) + 1e-5)
+    S = jnp.einsum("nka,nk,nkb->nab", e0, w, et)
+    U, _, Vt = jnp.linalg.svd(S)
+    dR = jnp.einsum("nji,nkj->nik", Vt, U)                     # V @ U^T
+    return rotmat_to_quat(dR)
+
+
+def warp_with_bias(params: NodeParams, cfg: NodeConfig, x: jnp.ndarray,
+                   t, feature, motion_mask,
+                   node_trans_bias: jnp.ndarray,
+                   K_rebind: int = 32) -> dict:
+    """Animation/editing warp with an extra per-node translation bias
+    (ControlNodeWarp.forward's node_trans_bias paths,
+    time_utils.py:1165-1214): the bias moves the nodes, p2dR fits the
+    induced per-node rotations, and Gaussians are re-skinned rigidly
+    about their (biased) nodes.  All bias handling is detached, exactly
+    like the reference's torch.no_grad blocks."""
+    from ..utils.quaternion import quat_multiply, quat_to_rotmat
+    base = warp(params, cfg, x, t, feature=feature,
+                motion_mask=motion_mask)
+    sg = jax.lax.stop_gradient
+    t_e = expand_time(params, t) if jnp.ndim(t) == 0 else t
+    attrs = node_deform(params, cfg, t_e)
+    node_trans = sg(attrs["d_xyz"])
+    x = sg(x)
+
+    cur_node = sg(params.nodes[:, :3]) + node_trans        # nodes at t
+    nodes_t = cur_node + node_trans_bias                   # + edit bias
+    node_rot_bias = p2dR(params, cfg, p=nodes_t, p0=cur_node, K=8)
+
+    # re-bind Gaussians at their CURRENT positions to the moved nodes
+    cur_gs = x + sg(base["d_xyz"])
+    nn_weight, _, nn_idx = cal_nn_weight(
+        params, cfg, cur_gs, feature=None,
+        K=min(K_rebind, params.nodes.shape[0]), nodes=cur_node)
+    Rb = quat_to_rotmat(node_rot_bias)[nn_idx]             # [N,K,3,3]
+    rel = cur_gs[:, None, :] - cur_node[nn_idx]
+    gs_t = nodes_t[nn_idx] + jnp.einsum("gkab,gkb->gka", Rb, rel)
+    gs_avg = jnp.sum(gs_t * nn_weight[..., None], axis=1)
+    translate = (gs_avg - x) * motion_mask
+
+    d_rot_bias = jnp.sum(node_rot_bias[nn_idx] * nn_weight[..., None],
+                         axis=1)
+    d_rot_bias = (d_rot_bias - ROT_BIAS) * motion_mask + ROT_BIAS
+    out = dict(base)
+    out["d_xyz"] = translate
+    if cfg.d_rot_as_res:
+        out["d_rotation_bias"] = d_rot_bias
+    else:
+        # fold the bias rotation into the absolute rotation field
+        rot = base["d_rotation"]
+        out["d_rotation"] = quat_multiply(d_rot_bias, rot)
     return out
 
 

@@ -31,12 +31,24 @@ from .projection import Preprocessed
 
 class Binning(NamedTuple):
     order: jnp.ndarray        # [N] gaussian index by ascending depth
-    pair_gid: jnp.ndarray     # [B] sorted-pair gaussian ids (into original N)
+    pair_rank: jnp.ndarray    # [B] sorted-pair DEPTH RANKS (index into order)
     pair_valid: jnp.ndarray   # [B] bool
     tile_start: jnp.ndarray   # [T] int32 offset into pair arrays
     tile_count: jnp.ndarray   # [T] int32
     num_pairs: jnp.ndarray    # scalar int32 (valid pairs)
     clamped: jnp.ndarray      # scalar int32: gaussians whose rect was cut
+
+    # NOTE on layout: pairs are stored as depth ranks, not gaussian ids.
+    # A [B]-sized ids gather from the unsorted side costs ~1 elem/cycle
+    # on TPU (~58 ms at B=6.4M); consumers instead pre-sort per-gaussian
+    # features ONCE by `order` (an [N]-row gather) and index those with
+    # `pair_rank`.  Use `pair_gid` only for [N]-scale consumers.
+
+    @property
+    def pair_gid(self) -> jnp.ndarray:
+        """[B] gaussian ids (original index space) — prefer pair_rank +
+        pre-sorted features in hot paths (see layout note)."""
+        return self.order[self.pair_rank]
 
 
 def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
@@ -81,18 +93,16 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, r_cap))
     if rank_bits + tile_bits <= 31:
         key = tile * jnp.int32(1 << rank_bits) + rank
-        # barriers keep the sort and the id-gather as standalone kernels
-        # (XLA's fused forms are far off their fast paths at this size)
+        # barrier keeps the sort a standalone kernel (XLA's fused forms
+        # are far off their fast paths at this size)
         skey = jax.lax.optimization_barrier(
             jax.lax.sort(key.ravel(), is_stable=False))
         sorted_tile = skey >> rank_bits
-        sorted_gid = jax.lax.optimization_barrier(
-            order[skey & jnp.int32((1 << rank_bits) - 1)])
+        sorted_rank = skey & jnp.int32((1 << rank_bits) - 1)
         sorted_ok = sorted_tile < num_tiles
     else:
-        gid = order[rank]
-        sorted_tile, sorted_gid, sorted_ok = jax.lax.sort(
-            (tile.ravel(), gid.ravel(), pair_ok.ravel()),
+        sorted_tile, sorted_rank, sorted_ok = jax.lax.sort(
+            (tile.ravel(), rank.ravel(), pair_ok.ravel()),
             num_keys=1, is_stable=True)
 
     tile_edges = jnp.searchsorted(
@@ -101,7 +111,7 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
     tile_start = tile_edges[:-1]
     tile_count = tile_edges[1:] - tile_edges[:-1]
 
-    return Binning(order=order, pair_gid=sorted_gid, pair_valid=sorted_ok,
+    return Binning(order=order, pair_rank=sorted_rank, pair_valid=sorted_ok,
                    tile_start=tile_start, tile_count=tile_count,
                    num_pairs=tile_edges[-1],
                    clamped=clamped)

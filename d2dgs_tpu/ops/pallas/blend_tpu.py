@@ -356,7 +356,7 @@ def build_work_queue(feats: jnp.ndarray, binning, num_tiles: int,
     of per-pair gradients (CUDA atomicAdd analogue).
     """
     w_cap = cfg.pair_cap // CHUNK
-    n_pairs = binning.pair_gid.shape[0]
+    n_pairs = binning.pair_rank.shape[0]
     counts = jnp.minimum(binning.tile_count, cfg.tile_cap).astype(jnp.int32)
     nch = (counts + CHUNK - 1) // CHUNK                       # [T]
     work_start = jnp.concatenate(
@@ -378,11 +378,14 @@ def build_work_queue(feats: jnp.ndarray, binning, num_tiles: int,
     ok = (jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
           < (counts[wt] - wc * CHUNK)[:, None]) & ~pad[:, None]
     slots = jnp.clip(slots, 0, n_pairs - 1)
-    # optimization_barrier: keep each gather its own kernel — XLA's TPU
-    # gather has a fast DMA path that fusing with producers/consumers
-    # falls off of (measured ~40x slower fused at this size)
-    gids = jax.lax.optimization_barrier(binning.pair_gid[slots])
-    g = jax.lax.optimization_barrier(feats[gids])             # [W,CHUNK,NFEAT]
+    # Gather features via depth ranks: pre-sort the [N] feature rows once
+    # (cheap), then index with the compact pair ranks — never gather at
+    # [B]-pair granularity from the unsorted side (see Binning layout
+    # note).  Barriers keep each gather a standalone kernel on XLA's
+    # fast gather path.
+    feats_sorted = jax.lax.optimization_barrier(feats[binning.order])
+    ranks = jax.lax.optimization_barrier(binning.pair_rank[slots])
+    g = jax.lax.optimization_barrier(feats_sorted[ranks])    # [W,CHUNK,NFEAT]
     g = jnp.where(ok[..., None], g, 0.0)
     return g, work_tile, first, last, overflow
 
@@ -553,12 +556,13 @@ def build_gdata(feats: jnp.ndarray, binning, num_tiles: int,
     (the TPU replacement for CUDA atomicAdd accumulation).
     """
     cap = cfg.tile_cap
-    n_pairs = binning.pair_gid.shape[0]
+    n_pairs = binning.pair_rank.shape[0]
     offs = binning.tile_start[:, None] + jnp.arange(cap, dtype=jnp.int32)
     in_range = jnp.arange(cap, dtype=jnp.int32)[None, :] < \
         binning.tile_count[:, None]
     offs = jnp.clip(offs, 0, n_pairs - 1)
-    g = feats[binning.pair_gid[offs]]                   # [T, cap, NFEAT]
+    feats_sorted = jax.lax.optimization_barrier(feats[binning.order])
+    g = feats_sorted[binning.pair_rank[offs]]           # [T, cap, NFEAT]
     g = jnp.where(in_range[..., None], g, 0.0)
     counts = jnp.minimum(binning.tile_count, cap).astype(jnp.int32)
     return g, counts

@@ -158,7 +158,10 @@ def rasterize_3dgs(means3d, scales, quats, opacities, colors, cam: Camera,
     P = TILE * TILE
     pix = _tile_pixels(gx, gy) - 0.5  # 3DGS measures from pixel corners
     n_chunks = max(cfg.tile_cap // cfg.chunk, 1)
-    B_pairs = binning.pair_gid.shape[0]
+    B_pairs = binning.pair_rank.shape[0]
+    # hoist the id resolution out of the scan (pair_gid is a computed
+    # property; evaluating it per chunk would re-gather the whole list)
+    pair_gid = binning.pair_gid
 
     state0 = (jnp.ones((num_tiles, P)),          # transmittance
               jnp.zeros((num_tiles, P, C)),      # color accumulator
@@ -171,7 +174,7 @@ def rasterize_3dgs(means3d, scales, quats, opacities, colors, cam: Camera,
         offs = base[:, None] + jnp.arange(cfg.chunk, dtype=jnp.int32)[None]
         in_range = offs < (binning.tile_start + binning.tile_count)[:, None]
         offs = jnp.clip(offs, 0, B_pairs - 1)
-        ids = binning.pair_gid[offs]                       # [T,chunk]
+        ids = pair_gid[offs]                               # [T,chunk]
         ok = in_range & binning.pair_valid[offs]
 
         g_con = prep.conic[ids]                            # [T,chunk,3]

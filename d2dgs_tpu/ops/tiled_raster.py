@@ -43,7 +43,13 @@ def blend_tiles_xla(Tmat, center, normal, colors, opacity, depth,
     P = TILE * TILE
     pix = _tile_pixels(grid_x, grid_y)                     # [T,P,2]
     n_chunks = max(cfg.tile_cap // cfg.chunk, 1)
-    B_pairs = binning.pair_gid.shape[0]
+    B_pairs = binning.pair_rank.shape[0]
+
+    # pre-sort per-gaussian features by depth order once; pair lists then
+    # index the sorted side via pair_rank (see Binning layout note)
+    Tmat_s, center_s, normal_s, colors_s, opacity_s = jax.tree.map(
+        lambda a: a[binning.order],
+        (Tmat, center, normal, colors, opacity))
 
     state0 = jax.vmap(lambda _: B.init_state(P))(jnp.arange(num_tiles))
 
@@ -58,14 +64,14 @@ def blend_tiles_xla(Tmat, center, normal, colors, opacity, depth,
         offs = base[:, None] + jnp.arange(cfg.chunk, dtype=jnp.int32)[None, :]
         in_range = offs < (binning.tile_start + binning.tile_count)[:, None]
         offs = jnp.clip(offs, 0, B_pairs - 1)
-        ids = binning.pair_gid[offs]                       # [T,chunk]
+        ids = binning.pair_rank[offs]                      # [T,chunk]
         ok = in_range & binning.pair_valid[offs]
 
-        g_T = Tmat[ids]                                    # [T,chunk,3,3]
-        g_center = center[ids]
-        g_normal = normal[ids]
-        g_color = colors[ids]
-        g_opac = jnp.where(ok, opacity[ids], 0.0)
+        g_T = Tmat_s[ids]                                  # [T,chunk,3,3]
+        g_center = center_s[ids]
+        g_normal = normal_s[ids]
+        g_color = colors_s[ids]
+        g_opac = jnp.where(ok, opacity_s[ids], 0.0)
 
         def tile_blend(st, tT, tc, tn, tcol, topac, tpix):
             a, d = B.pixel_responses(tT, tc, topac, tpix)

@@ -9,8 +9,12 @@ collectives (psum of replicated-parameter gradients) on ICI.
 from .data_parallel import (add_stats_batched, batched_main_step,
                             make_dp_main_step, make_mesh, shard_batch,
                             shard_replicated, stack_cameras)
+from .gauss_train import (gauss_sharded_step, make_gauss_mesh,
+                          make_gauss_sharded_step, shard_gauss_state)
 
 __all__ = [
     "add_stats_batched", "batched_main_step", "make_dp_main_step",
     "make_mesh", "shard_batch", "shard_replicated", "stack_cameras",
+    "gauss_sharded_step", "make_gauss_mesh", "make_gauss_sharded_step",
+    "shard_gauss_state",
 ]

@@ -647,9 +647,21 @@ class Trainer:
 
     def step(self):
         self._poll_viewer()
+        import time as _time
+        t0 = _time.perf_counter()
         if self.iteration_node < self.cfg.iterations_node_rendering:
-            return self.node_stage_iteration()
-        return self.main_iteration()
+            m = self.node_stage_iteration()
+        else:
+            m = self.main_iteration()
+        # inter-step wall time (the reference's cuda-event `iter_time`,
+        # train_gui.py:175-176,231,374); no extra device sync
+        now = _time.perf_counter()
+        if m:
+            prev = getattr(self, "_last_step_t", None)
+            m["iter_time_ms"] = ((now - prev) * 1e3 if prev is not None
+                                 else (now - t0) * 1e3)
+        self._last_step_t = now
+        return m
 
     def train(self, num_iters: int | None = None, log_every: int = 100):
         total = num_iters if num_iters is not None else (

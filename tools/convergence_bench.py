@@ -1,0 +1,113 @@
+"""Convergence benchmark at non-toy scale (VERDICT r1 item 5).
+
+Synthetic multi-view video at 400x400, >=20k-Gaussian capacity, the full
+two-stage recipe scaled ~1:10 from the reference D-NeRF schedule
+(arguments/__init__.py:99-158).  Records the PSNR trajectory and a final
+held-out test-set evaluation to CONVERGENCE_r{round}.json at the repo
+root.  Run on the TPU chip:  python tools/convergence_bench.py [--fast]
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d2dgs_tpu.config import RasterConfig
+from d2dgs_tpu.data.synthetic import make_video_dataset
+from d2dgs_tpu.eval.render_sets import render_test_set
+from d2dgs_tpu.train.config import TrainConfig
+from d2dgs_tpu.train.trainer import Trainer
+
+FAST = "--fast" in sys.argv
+
+H = W = 400
+N_INIT = 20_000
+
+# reference schedule scaled ~1:10 (main 80k->8k, node 10k->1k, densify
+# window 500..50k -> 50..5k, opacity reset 3k->300, warm-up 3k->300)
+CFG = TrainConfig(
+    sh_degree=3, hyper_dim=8, node_num=256, K=3,
+    gaussian_capacity=40_000, node_gauss_capacity=4_096,
+    iterations=8_000 if not FAST else 800,
+    warm_up=300, node_warm_up=200,
+    iterations_node_sampling=750, iterations_node_rendering=1_000,
+    densification_interval=100, densify_from_iter=50,
+    densify_until_iter=5_000, opacity_reset_interval=300,
+    normal_dist_from_iter=800, oneup_sh_degree_step=100,
+    node_force_densify_prune_step=1_000,
+    raster=RasterConfig(tile_cap=1024, chunk=128, pair_cap=1 << 19),
+)
+
+
+def main():
+    cams, imgs, pts, cols = make_video_dataset(
+        jax.random.PRNGKey(7), n_cams=10, n_times=5, H=H, W=W, n_gauss=48)
+    # hold out every 10th view for testing
+    test_idx = set(range(0, len(cams), 10))
+    train = [(c, i) for k, (c, i) in enumerate(zip(cams, imgs))
+             if k not in test_idx]
+    test = [(c, jnp.asarray(i)) for k, (c, i) in enumerate(zip(cams, imgs))
+            if k in test_idx]
+    tr_cams = [c for c, _ in train]
+    tr_imgs = [i for _, i in train]
+
+    rng = np.random.RandomState(0)
+    init_pts = pts[rng.choice(pts.shape[0], min(N_INIT, pts.shape[0]),
+                              replace=False)] if pts.shape[0] > N_INIT \
+        else np.concatenate([pts] * (N_INIT // pts.shape[0] + 1))[:N_INIT] \
+        + rng.randn(N_INIT, 3).astype(np.float32) * 0.05
+    init_cols = np.full((init_pts.shape[0], 3), 0.5, np.float32)
+
+    tr = Trainer(CFG, tr_cams, tr_imgs, init_pts, init_cols,
+                 cameras_extent=4.0, seed=0)
+    total = CFG.iterations + CFG.iterations_node_rendering
+    traj = []
+    t_start = time.time()
+    for _ in range(total):
+        m = tr.step()
+        tick = tr.iteration_node + tr.iteration - 2
+        if m and tick % 100 == 0:
+            p = float(m["psnr"])
+            traj.append({"iter": tick, "psnr": round(p, 3),
+                         "iter_time_ms": round(m.get("iter_time_ms", 0),
+                                               2)})
+            print(f"[{tick}/{total}] psnr={p:.2f} "
+                  f"alive={int(m.get('alive', 0))} "
+                  f"t={time.time() - t_start:.0f}s", flush=True)
+
+    res = render_test_set(test, tr.state.gauss, tr.state.nodes,
+                          CFG.node_cfg, CFG.raster,
+                          bg=jnp.zeros(3), save_images=False)
+    final = res["mean"]
+    out = {
+        "config": {"H": H, "W": W, "n_init": int(init_pts.shape[0]),
+                   "capacity": CFG.gaussian_capacity,
+                   "iterations": CFG.iterations,
+                   "node_iterations": CFG.iterations_node_rendering,
+                   "device": str(jax.devices()[0]),
+                   "wall_s": round(time.time() - t_start, 1)},
+        "final_test": {k: round(float(v), 4) for k, v in final.items()
+                       if isinstance(v, float)},
+        "alive": int(tr.state.gauss.num_alive),
+        "trajectory": traj,
+    }
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "CONVERGENCE_r02.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out["final_test"]))
+    print(f"wrote {path}")
+    assert final["psnr"] > 26.0, f"PSNR floor missed: {final['psnr']}"
+
+
+if __name__ == "__main__":
+    main()
