@@ -39,7 +39,7 @@ N = 100_000
 
 def main():
     cfg = TrainConfig(gaussian_capacity=N, node_num=512,
-                      raster=RasterConfig(tile_cap=1024, chunk=128))
+                      raster=RasterConfig(tile_cap=1024, chunk=128, pair_cap=4608 * 128))
     key = jax.random.PRNGKey(0)
     # trained-scene-like cluster: unit-ish body, small splats
     pts = np.asarray(jax.random.normal(key, (N, 3)) * 0.4)
@@ -126,8 +126,7 @@ def main_scaling():
     pts = np.asarray(jax.random.normal(key, (Ns, 3)) * 0.4)
     cols = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (Ns, 3)))
     base_state = init_train_state(key, cfg, pts, cols)
-    base_state = dataclasses.replace(
-        base_state,
+    base_state = base_state._replace(
         gauss=dataclasses.replace(
             base_state.gauss,
             scaling=jnp.full_like(base_state.gauss.scaling,
@@ -141,7 +140,11 @@ def main_scaling():
     for nd in sizes:
         mesh = make_gauss_mesh(nd)
         state = shard_gauss_state(mesh, base_state)
-        step = make_gauss_sharded_step(mesh, cfg, exchange_cap=8192)
+        # per-destination record capacity shrinks with mesh size (the
+        # total exchanged volume is constant); loss must match across
+        # mesh sizes when overflow is 0
+        step = make_gauss_sharded_step(mesh, cfg,
+                                       exchange_cap=65536 // nd)
         s2, m = step(state, cam, gt, sched)
         jax.block_until_ready(s2)
         t0 = time.time()

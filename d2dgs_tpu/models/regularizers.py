@@ -141,7 +141,13 @@ def arap_loss(params: NodeParams, cfg: NodeConfig, key,
     weight = keep.astype(jnp.float32)
     weight = weight * params.alive[nn_idx] * params.alive[:, None]
     if m > sample_num:
-        sample_idx = jax.random.randint(k3, (sample_num,), 0, m)
+        # sample LIVE nodes without replacement (deform_utils.py:189-190
+        # uses randperm; with-replacement double-counts energy and can
+        # hit dead capacity slots).  Gumbel top-k == weighted sampling
+        # without replacement restricted to alive slots.
+        g = jax.random.gumbel(k3, (m,)) + jnp.where(params.alive, 0.0,
+                                                    -jnp.inf)
+        _, sample_idx = jax.lax.top_k(g, sample_num)
     else:
         sample_idx = None
     return arap_energy(nodes_seq, nn_idx, weight, sample_idx)

@@ -164,9 +164,12 @@ def _chunk_step(st, feats, px, py):
     med_d = has * md + (1.0 - has) * st[ROW_MED_D:ROW_MED_D + 1]
     med_w = has * mw + (1.0 - has) * st[ROW_MED_W:ROW_MED_W + 1]
 
-    # product over included rows via the last row of an inclusive cumprod
-    # (Mosaic has no reduce_prod)
-    T_new = T_in * _incl_cumprod0(jnp.where(include, om, 1.0))[CHUNK - 1:]
+    # T after the chunk = Ta at the last included row (include is the
+    # prefix rows < first, and om=1 for alpha-0 rows) — read it off the
+    # already-computed Ta instead of a second full prefix product
+    live = done < 0.5
+    T_last = csum(jnp.where(rows == first - 1, Ta, 0.0))
+    T_new = jnp.where((first > 0) & live, T_last, T_in)
     any_trig = jnp.max(trig.astype(jnp.float32), axis=0, keepdims=True)
     done_new = jnp.maximum(done, any_trig)
 

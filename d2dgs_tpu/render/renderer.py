@@ -140,12 +140,16 @@ def render(cam: Camera, params: GaussianParams, bg: jnp.ndarray,
 def _full_proj_uvz(xyz: jnp.ndarray, cam: Camera,
                    znear: float = 0.01, zfar: float = 100.0):
     """Project to NDC uvz via the 3DGS full projection
-    (render_flow, gaussian_renderer/__init__.py:259-266)."""
-    from ..utils.graphics import get_projection_matrix
-    import numpy as np
-    P = jnp.asarray(get_projection_matrix(
-        znear, zfar, 2 * np.arctan(cam.W / (2 * float(cam.fx))),
-        2 * np.arctan(cam.H / (2 * float(cam.fy)))))
+    (render_flow, gaussian_renderer/__init__.py:259-266).  The
+    projection matrix is built with traced ops (cam.fx/fy are traced
+    leaves under jit): P[0,0] = 1/tan(fovx/2) = 2*fx/W."""
+    z = jnp.zeros((), jnp.float32)
+    row0 = jnp.stack([2.0 * cam.fx / cam.W, z, z, z])
+    row1 = jnp.stack([z, 2.0 * cam.fy / cam.H, z, z])
+    row2 = jnp.array([0.0, 0.0, zfar / (zfar - znear),
+                      -(zfar * znear) / (zfar - znear)], jnp.float32)
+    row3 = jnp.array([0.0, 0.0, 1.0, 0.0], jnp.float32)
+    P = jnp.stack([row0, row1, row2, row3])
     full = P @ cam.w2c                                     # [4,4]
     h = jnp.concatenate([xyz, jnp.ones_like(xyz[:, :1])], -1) @ full.T
     return h[:, :3] / (h[:, 3:4] + 1e-7)

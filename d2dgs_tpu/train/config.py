@@ -86,6 +86,11 @@ class TrainConfig:
     lambda_motion_mask_landmarks: tuple = (5e-1, 1e-2, 0.0)
     lambda_motion_mask_steps: tuple = (0, 10_000, 10_001)
 
+    # optical-flow loss (train_gui.py:318-361; needs raft_neighbouring/
+    # flow files, data/flow.py).  Schedule arguments/__init__.py:145-146.
+    lambda_optical_landmarks: tuple = (1e-1, 1e-1, 1e-3, 0.0)
+    lambda_optical_steps: tuple = (0, 15_000, 25_000, 25_001)
+
     raster: RasterConfig = RasterConfig()
 
     @property

@@ -262,13 +262,44 @@ def photometric_loss(gauss: GaussianParams, nodes: NodeParams, cam: Camera,
     return loss, (out, ll1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "motion_loss"))
+def optical_flow_loss(gauss: GaussianParams, nodes: NodeParams,
+                      cam: Camera, cam2: Camera, gt_flow: jnp.ndarray,
+                      flow_mask: jnp.ndarray, pair_weight,
+                      image: jnp.ndarray, gt: jnp.ndarray,
+                      cfg: TrainConfig, sched: dict):
+    """Optical-flow supervision (train_gui.py:318-361): render the
+    per-pixel uv motion between (cam, t1) and (cam2, t2) via the 3DGS
+    flow rasterizer and L1 it against the (normalized) RAFT flow,
+    masked by solid-alpha, RAFT validity, time proximity, and
+    photometric confidence."""
+    from ..render.renderer import render_flow
+    d1 = warp(nodes, cfg.node_cfg, gauss.xyz, cam.time,
+              feature=gauss.feature, motion_mask=gauss.motion_mask)
+    d2 = warp(nodes, cfg.node_cfg, gauss.xyz, cam2.time,
+              feature=gauss.feature, motion_mask=gauss.motion_mask)
+    f = render_flow(gauss, cam, cam2, d_xyz1=d1["d_xyz"],
+                    d_xyz2=d2["d_xyz"], d_rotation1=d1["d_rotation"],
+                    d_scaling1=d1["d_scaling"], cfg=cfg.raster)
+    coor_motion = f["render"][..., :2]                     # [H,W,2]
+    mask_motion = jax.lax.stop_gradient(
+        f["alpha"][..., 0] > 0.9).astype(jnp.float32)
+    mask = (mask_motion * flow_mask[..., 0])[..., None] * pair_weight
+    # photometric-confidence weight (train_gui.py:355-358)
+    l1w = jnp.cos(jnp.mean(jnp.abs(jax.lax.stop_gradient(image) - gt),
+                           axis=-1) * jnp.pi / 2.0)
+    mask = mask * l1w[..., None]
+    return l1(mask * gt_flow, mask * coor_motion)
+
+
+@partial(jax.jit, static_argnames=("cfg", "motion_loss", "flow_loss"))
 def main_stage_step(state: TrainState, cam: Camera, gt: jnp.ndarray,
                     cfg: TrainConfig, sched: dict, gt_alpha=None,
-                    motion_loss: bool = False):
+                    motion_loss: bool = False, flow_sample=None,
+                    flow_loss: bool = False):
     """sched scalars: warm (0/1 — iter < warm_up), lambda_normal,
     lambda_dist, lambda_arap, deform_lr, xyz_lr (+ lambda_motion when
-    motion_loss)."""
+    motion_loss, + lambda_optical when flow_loss).  flow_sample:
+    (cam2, gt_flow [H,W,2], flow_mask [H,W,1], pair_weight)."""
     key, k_arap = jax.random.split(state.key)
     bg = jnp.where(cfg.white_background, 1.0, 0.0) * jnp.ones(3)
 
@@ -286,6 +317,11 @@ def main_stage_step(state: TrainState, cam: Camera, gt: jnp.ndarray,
                      feature=gauss.feature, motion_mask=gauss.motion_mask)
             loss = loss + sched["lambda_motion"] * motion_mask_loss(
                 gauss, cam, gt_alpha, bg, cfg, d=d)
+        if flow_loss:
+            cam2, gt_flow, flow_mask, pair_weight = flow_sample
+            loss = loss + sched["lambda_optical"] * optical_flow_loss(
+                gauss, nodes, cam, cam2, gt_flow, flow_mask, pair_weight,
+                out.image, gt, cfg, sched)
         return loss, (out, ll1)
 
     grads, (out, ll1) = jax.grad(loss_fn, argnums=(0, 1, 2, 3),
@@ -450,16 +486,27 @@ class Trainer:
 
     def __init__(self, cfg: TrainConfig, cameras, images,
                  init_points, init_colors, cameras_extent: float = 5.0,
-                 seed: int = 0, log_fn=None, alphas=None):
+                 seed: int = 0, log_fn=None, alphas=None,
+                 flow_dirs=None, image_names=None):
         """cameras: list[Camera]; images: list of [H,W,3] float arrays;
         alphas: optional list of [H,W,1] gt alpha masks (enables the
-        motion-mask loss when cfg.gt_alpha_mask_as_dynamic_mask)."""
+        motion-mask loss when cfg.gt_alpha_mask_as_dynamic_mask);
+        flow_dirs: optional per-camera candidate RAFT flow files
+        (data/flow.py find_flow_dirs) + image_names to resolve the flow
+        target frame — enables the optical-flow loss."""
         self.cfg = cfg
         self.cameras = cameras
         self.images = [jnp.asarray(im, jnp.float32) for im in images]
         self.alphas = (None if alphas is None else
                        [None if a is None else jnp.asarray(a, jnp.float32)
                         for a in alphas])
+        self.flow_dirs = flow_dirs
+        self._name2idx = {}
+        if image_names is not None:
+            import os as _os
+            self._name2idx = {
+                _os.path.splitext(n)[0]: i
+                for i, n in enumerate(image_names)}
         self.extent = float(cameras_extent)
         self.state = init_train_state(jax.random.PRNGKey(seed), cfg,
                                       init_points, init_colors)
@@ -543,7 +590,31 @@ class Trainer:
             cam = dataclasses.replace(
                 cam, time=cam.time + jnp.float32(noise))
         alpha = None if self.alphas is None else self.alphas[i]
+        self._last_cam_idx = i
         return cam, img, alpha
+
+    def _pick_flow_sample(self, cam_idx: int):
+        """Load a random RAFT flow candidate for the picked camera and
+        resolve its target camera (train_gui.py:321-338).  Returns
+        (cam2, gt_flow, flow_mask, pair_weight) or None."""
+        if not self.flow_dirs or not self.flow_dirs[cam_idx]:
+            return None
+        from ..data.flow import load_flow, target_name
+        path = self.flow_dirs[cam_idx][
+            self.rng.randint(len(self.flow_dirs[cam_idx]))]
+        tgt = target_name(path)
+        if tgt not in self._name2idx:
+            return None
+        cam1 = self.cameras[cam_idx]
+        cam2 = self.cameras[self._name2idx[tgt]]
+        try:
+            flow, mask = load_flow(path, cam1.H, cam1.W)
+        except (OSError, ValueError):
+            return None
+        pw = float(np.clip(np.cos(abs(float(cam1.time) - float(cam2.time))
+                                  * np.pi / 2.0), 0.2, 1.0))
+        return (cam2, jnp.asarray(flow), jnp.asarray(mask),
+                jnp.float32(pw))
 
     def _motion_lambda(self, it: int) -> float:
         """Landmark-scheduled motion-mask loss weight
@@ -620,9 +691,19 @@ class Trainer:
         )
         if motion:
             sched["lambda_motion"] = jnp.float32(lam_motion)
+        flow_sample = None
+        if self.flow_dirs is not None and it >= cfg.warm_up:
+            lam_opt = float(R.landmark_interpolate(
+                cfg.lambda_optical_landmarks, cfg.lambda_optical_steps,
+                step=max(0, it)))
+            if lam_opt > 0:
+                flow_sample = self._pick_flow_sample(self._last_cam_idx)
+                if flow_sample is not None:
+                    sched["lambda_optical"] = jnp.float32(lam_opt)
         self.state, metrics = main_stage_step(
             self.state, cam, gt, cfg, sched,
-            gt_alpha=alpha if motion else None, motion_loss=motion)
+            gt_alpha=alpha if motion else None, motion_loss=motion,
+            flow_sample=flow_sample, flow_loss=flow_sample is not None)
 
         if it < cfg.densify_until_iter:
             if (it == cfg.node_force_densify_prune_step

@@ -49,7 +49,7 @@ def timeit(name, fn, *args, iters=10):
 
 def main():
     cfg = TrainConfig(gaussian_capacity=N, node_num=512,
-                      raster=RasterConfig(tile_cap=1024, chunk=128))
+                      raster=RasterConfig(tile_cap=1024, chunk=128, pair_cap=4608 * 128))
     rc = cfg.raster
     key = jax.random.PRNGKey(0)
     pts = np.asarray(jax.random.normal(key, (N, 3)) * 0.4)
