@@ -132,7 +132,8 @@ def _chunk_step(st, feats, px, py):
     Ta = Tb * om
     rows = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 0)
     trig = (alpha > 0.0) & (Ta < T_CUTOFF)
-    first = jnp.min(jnp.where(trig, rows, CHUNK), axis=0, keepdims=True)
+    first = jnp.min(jnp.where(trig, rows, alpha.shape[0]), axis=0,
+                    keepdims=True)
     include = (rows < first) & (done < 0.5)
     w = jnp.where(include, alpha * Tb, 0.0)
 
@@ -353,15 +354,16 @@ def build_work_queue(feats: jnp.ndarray, binning, num_tiles: int,
                      cfg: RasterConfig):
     """Compact chunk-aligned pair gather + work-item maps.
 
-    Returns (gdata [W, CHUNK, NFEAT], work_tile [W] i32 (num_tiles =
+    Returns (gdata [W, chunk, NFEAT], work_tile [W] i32 (num_tiles =
     padding), first [W] i32, last [W] i32, overflow scalar i32).
     Differentiable in `feats`; the gather transpose is the segment-sum
     of per-pair gradients (CUDA atomicAdd analogue).
     """
-    w_cap = cfg.pair_cap // CHUNK
+    ch = cfg.chunk
+    w_cap = cfg.pair_cap // ch
     n_pairs = binning.pair_rank.shape[0]
     counts = jnp.minimum(binning.tile_count, cfg.tile_cap).astype(jnp.int32)
-    nch = (counts + CHUNK - 1) // CHUNK                       # [T]
+    nch = (counts + ch - 1) // ch                             # [T]
     work_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(nch, dtype=jnp.int32)])
     total_work = work_start[-1]
@@ -376,10 +378,10 @@ def build_work_queue(feats: jnp.ndarray, binning, num_tiles: int,
     last = ((wc == nch[wt] - 1) & ~pad).astype(jnp.int32)
     work_tile = jnp.where(pad, num_tiles, wt).astype(jnp.int32)
 
-    base = binning.tile_start[wt] + wc * CHUNK                # [W]
-    slots = base[:, None] + jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
-    ok = (jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
-          < (counts[wt] - wc * CHUNK)[:, None]) & ~pad[:, None]
+    base = binning.tile_start[wt] + wc * ch                   # [W]
+    slots = base[:, None] + jnp.arange(ch, dtype=jnp.int32)[None, :]
+    ok = (jnp.arange(ch, dtype=jnp.int32)[None, :]
+          < (counts[wt] - wc * ch)[:, None]) & ~pad[:, None]
     slots = jnp.clip(slots, 0, n_pairs - 1)
     # Gather features via depth ranks: pre-sort the [N] feature rows once
     # (cheap), then index with the compact pair ranks — never gather at
@@ -448,17 +450,18 @@ def _bwd_wq_kernel(tile_ref, first_ref, last_ref, gdata_ref, carries_ref,
 
     @pl.when(jnp.logical_not(active))
     def _():
-        dg_ref[0] = jnp.zeros((CHUNK, NFEAT), jnp.float32)
+        dg_ref[0] = jnp.zeros(dg_ref.shape[1:], jnp.float32)
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_wq_call(num_tiles: int, gx: int, w_cap: int, interpret: bool):
+def _fwd_wq_call(num_tiles: int, gx: int, w_cap: int, chunk: int,
+                 interpret: bool):
     kern = functools.partial(_fwd_wq_kernel, gx=gx, num_tiles=num_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,          # work_tile, first, last in SMEM
         grid=(w_cap,),
         in_specs=[
-            pl.BlockSpec((1, CHUNK, NFEAT), lambda w, *_: (w, 0, 0),
+            pl.BlockSpec((1, chunk, NFEAT), lambda w, *_: (w, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -481,7 +484,8 @@ def _fwd_wq_call(num_tiles: int, gx: int, w_cap: int, interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_wq_call(num_tiles: int, gx: int, w_cap: int, interpret: bool):
+def _bwd_wq_call(num_tiles: int, gx: int, w_cap: int, chunk: int,
+                 interpret: bool):
     kern = functools.partial(_bwd_wq_kernel, gx=gx, num_tiles=num_tiles,
                              w_cap=w_cap)
     rev = lambda i: w_cap - 1 - i
@@ -489,7 +493,7 @@ def _bwd_wq_call(num_tiles: int, gx: int, w_cap: int, interpret: bool):
         num_scalar_prefetch=3,
         grid=(w_cap,),
         in_specs=[
-            pl.BlockSpec((1, CHUNK, NFEAT), lambda i, *_: (rev(i), 0, 0),
+            pl.BlockSpec((1, chunk, NFEAT), lambda i, *_: (rev(i), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NCARRY, PIX), lambda i, *_: (rev(i), 0, 0),
                          memory_space=pltpu.VMEM),
@@ -497,7 +501,7 @@ def _bwd_wq_call(num_tiles: int, gx: int, w_cap: int, interpret: bool):
                          lambda i, tile_ref, *_: (tile_ref[rev(i)], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, CHUNK, NFEAT),
+        out_specs=pl.BlockSpec((1, chunk, NFEAT),
                                lambda i, *_: (rev(i), 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((NSTATE, PIX), jnp.float32)],
@@ -505,7 +509,7 @@ def _bwd_wq_call(num_tiles: int, gx: int, w_cap: int, interpret: bool):
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((w_cap, CHUNK, NFEAT), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((w_cap, chunk, NFEAT), jnp.float32),
         interpret=interpret,
     )
 
@@ -513,11 +517,11 @@ def _bwd_wq_call(num_tiles: int, gx: int, w_cap: int, interpret: bool):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def blend_tiles_wq(gdata, work_tile, first, last, num_tiles: int, gx: int,
                    w_cap: int):
-    """Work-queue blend: compact [W, CHUNK, NFEAT] pair features ->
+    """Work-queue blend: compact [W, chunk, NFEAT] pair features ->
     [num_tiles, NSTATE, PIX] blended state rows (empty tiles = init
     state)."""
-    out, _ = _fwd_wq_call(num_tiles, gx, w_cap, not _is_tpu())(
-        work_tile, first, last, gdata)
+    out, _ = _fwd_wq_call(num_tiles, gx, w_cap, gdata.shape[1],
+                          not _is_tpu())(work_tile, first, last, gdata)
     return _fix_empty_tiles(out[:num_tiles], work_tile, first, num_tiles)
 
 
@@ -532,7 +536,8 @@ def _fix_empty_tiles(out, work_tile, first, num_tiles):
 
 
 def _blend_wq_fwd(gdata, work_tile, first, last, num_tiles, gx, w_cap):
-    out, carries = _fwd_wq_call(num_tiles, gx, w_cap, not _is_tpu())(
+    out, carries = _fwd_wq_call(num_tiles, gx, w_cap, gdata.shape[1],
+                                not _is_tpu())(
         work_tile, first, last, gdata)
     fixed = _fix_empty_tiles(out[:num_tiles], work_tile, first, num_tiles)
     return fixed, (gdata, work_tile, first, last, carries)
@@ -542,7 +547,8 @@ def _blend_wq_bwd(num_tiles, gx, w_cap, res, g_out):
     gdata, work_tile, first, last, carries = res
     g_pad = jnp.concatenate(
         [g_out, jnp.zeros((1,) + g_out.shape[1:], g_out.dtype)], axis=0)
-    dg = _bwd_wq_call(num_tiles, gx, w_cap, not _is_tpu())(
+    dg = _bwd_wq_call(num_tiles, gx, w_cap, gdata.shape[1],
+                      not _is_tpu())(
         work_tile, first, last, gdata, carries, g_pad)
     return (dg, None, None, None)
 

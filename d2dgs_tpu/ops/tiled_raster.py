@@ -105,11 +105,12 @@ def blend_tiles(Tmat, center, normal, colors, opacity, binning: Binning,
             axis=-1)
         assert feats.shape[-1] == NFEAT
         num_tiles = grid_x * grid_y
-        if cfg.use_workqueue and cfg.pair_cap % CHUNK == 0:
+        if cfg.use_workqueue and cfg.pair_cap % cfg.chunk == 0:
             gdata, work_tile, first, last, _ = build_work_queue(
                 feats, binning, num_tiles, cfg)
             out = blend_tiles_wq(gdata, work_tile, first, last,
-                                 num_tiles, grid_x, cfg.pair_cap // CHUNK)
+                                 num_tiles, grid_x,
+                                 cfg.pair_cap // cfg.chunk)
         else:
             gdata, counts = build_gdata(feats, binning, num_tiles, cfg)
             out = blend_tiles_pallas(gdata, counts, num_tiles, grid_x,

@@ -108,7 +108,7 @@ def main():
         timeit("gather+blend fwd+bwd", gdb, feats, binning)
 
     # --- work-queue variant ---
-    w_cap = rc.pair_cap // CHUNK
+    w_cap = rc.pair_cap // rc.chunk
     wq_fn = jax.jit(lambda f, b: build_work_queue(f, b, num_tiles, rc))
     gwq, wt, first, last, ovf = wq_fn(feats, binning)
     print(f"  wq: w_cap={w_cap} overflow={int(ovf)}")
