@@ -100,28 +100,33 @@ def main():
 def main_scaling():
     """Scaling harness (BASELINE.md north star: rays/s at 1 chip / 1 host
     / N hosts).  Real N-chip hardware is unavailable here, so beyond the
-    single-chip number this measures the gauss-sharded training step —
+    single-chip number this measures the FULL-LOSS gauss-sharded training
+    step (parallel/gauss_train.py: L1+D-SSIM, normal-consistency,
+    distortion, ARAP, densify stats, Pallas work-queue blend on TPU) —
     with the distributed tile-binning all_to_all exchange — on simulated
     device meshes, reporting per-mesh step wall time, exchange overflow,
-    and gradient-path health.  One JSON line per mesh size."""
+    and loss parity across mesh sizes.  One JSON line per mesh size."""
     import dataclasses
 
     import jax
     import jax.numpy as jnp
 
-    from d2dgs_tpu.parallel import (make_gauss_mesh,
-                                    make_gauss_sharded_step,
-                                    shard_gauss_state)
+    from d2dgs_tpu.parallel import (make_mesh2d, make_sharded_train_step,
+                                    shard_gauss_state, stack_cameras,
+                                    suggest_exchange_cap)
     from d2dgs_tpu.train.trainer import init_train_state
     from d2dgs_tpu.data.cameras import orbit_camera
+    from d2dgs_tpu.utils.quaternion import quat_normalize
 
     n_dev_all = len(jax.devices())
-    Hs = Ws = 256
-    Ns = 20_000
-    cfg = TrainConfig(gaussian_capacity=Ns, node_num=128,
-                      raster=RasterConfig(tile_cap=512, chunk=128,
+    on_tpu = jax.devices()[0].platform == "tpu"
+    Hs = Ws = 800 if on_tpu else 256
+    Ns = 100_000 if on_tpu else 20_000
+    cfg = TrainConfig(gaussian_capacity=Ns, node_num=512 if on_tpu else 128,
+                      raster=RasterConfig(tile_cap=1024 if on_tpu else 512,
+                                          chunk=128,
                                           pair_cap=1 << 16,
-                                          use_pallas=False))
+                                          use_pallas=on_tpu))
     key = jax.random.PRNGKey(0)
     pts = np.asarray(jax.random.normal(key, (Ns, 3)) * 0.4)
     cols = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (Ns, 3)))
@@ -133,28 +138,37 @@ def main_scaling():
                                   np.log(8e-3))))
     cam = orbit_camera(0.3, 0.25, 4.0, fov=0.69, H=Hs, W=Ws, time=0.5)
     gt = jnp.zeros((Hs, Ws, 3), jnp.float32)
-    sched = dict(warm=jnp.float32(0.0), deform_lr=jnp.float32(1e-3),
-                 xyz_lr=jnp.float32(1e-4))
+    sched = dict(warm=jnp.float32(0.0), lambda_normal=jnp.float32(0.02),
+                 lambda_dist=jnp.float32(1000.0),
+                 lambda_arap=jnp.float32(0.01),
+                 deform_lr=jnp.float32(1e-3), xyz_lr=jnp.float32(1e-4),
+                 step=jnp.float32(10_000.0))
 
+    losses = {}
     sizes = [d for d in (1, 2, 4, 8) if d <= n_dev_all]
     for nd in sizes:
-        mesh = make_gauss_mesh(nd)
+        mesh = make_mesh2d(1, nd)
         state = shard_gauss_state(mesh, base_state)
-        # per-destination record capacity shrinks with mesh size (the
-        # total exchanged volume is constant); loss must match across
-        # mesh sizes when overflow is 0
-        step = make_gauss_sharded_step(mesh, cfg,
-                                       exchange_cap=65536 // nd)
-        s2, m = step(state, cam, gt, sched)
+        g = base_state.gauss
+        # auto-size the exchange from measured per-destination counts
+        # (no magic caps; VERDICT r2 item 7)
+        cap = suggest_exchange_cap(
+            mesh, [cam], g.xyz, g.get_scaling,
+            quat_normalize(g.rotation, eps=1e-12), g.alive, cfg.raster)
+        step = make_sharded_train_step(mesh, cfg, exchange_cap=cap)
+        cams_b = stack_cameras([cam])
+        gts = gt[None]
+        s2, m = step(state, cams_b, gts, sched)
         jax.block_until_ready(s2)
         t0 = time.time()
         iters = 3
         for _ in range(iters):
-            s2, m = step(state, cam, gt, sched)
+            s2, m = step(state, cams_b, gts, sched)
         jax.block_until_ready(s2)
         dt = (time.time() - t0) / iters
+        losses[nd] = float(m["loss"])
         print(json.dumps({
-            "metric": f"gauss-sharded step {nd}dev "
+            "metric": f"full-loss gauss-sharded step {nd}dev "
                       f"({jax.devices()[0].platform})",
             "value": round(Hs * Ws / dt, 1),
             "unit": "rays/s",
@@ -162,7 +176,13 @@ def main_scaling():
             "detail": {"step_ms": round(dt * 1e3, 2),
                        "overflow": int(m["overflow"]),
                        "loss": float(m["loss"]),
+                       "exchange_cap": cap,
                        "n_devices": nd}}))
+    # loss parity across mesh sizes (overflow 0 -> same math)
+    base_loss = losses[sizes[0]]
+    for nd, lo in losses.items():
+        assert abs(lo - base_loss) <= 5e-4 * max(abs(base_loss), 1e-3), \
+            f"loss mismatch at {nd} devices: {lo} vs {base_loss}"
 
 
 if __name__ == "__main__":

@@ -7,6 +7,13 @@ encodes the target frame) with companion `raft_masks/<...>.png` masks
 (channel 0 = cycle-consistency, channel 1 = occlusion).  These are
 produced offline by a RAFT runner; this module only discovers and loads
 them.
+
+Deliberate parity deviation (docs/PARITY.md): when flow files are at a
+different resolution than the training images, `load_flow` scales the
+flow VALUES by (W/w, H/h) during resize (flow as physical pixel
+displacement -> NDC-correct normalization); the reference interpolates
+without value scaling (train_gui.py:330-341).  Bit-identical when the
+resolutions match (the documented D-NeRF setup).
 """
 from __future__ import annotations
 

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.nodes import warp
+from ..models.deform import deform_gaussians
 from ..render.renderer import render
 from .metrics import evaluate_image_metrics
 
@@ -26,16 +26,23 @@ def _save_png(path, img):
 def render_test_set(samples, gauss, nodes, node_cfg, raster_cfg,
                     out_dir: str | None = None, bg=None,
                     lpips_weights: str | None = None,
-                    save_images: bool = True) -> dict:
+                    save_images: bool = True,
+                    deform_cfg=None) -> dict:
     """samples: list of data.dnerf.CameraSample (or (camera, gt) pairs).
-    Returns {"per_view": [...], "mean": {...}}."""
+    deform_cfg: optional models.deform.DeformConfig — defaults to the
+    node warp over `node_cfg`.  Returns {"per_view": [...], "mean": {...}}.
+    """
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
+    if deform_cfg is None:
+        from ..models.deform import DeformConfig
+        deform_cfg = DeformConfig(deform_type="node", node=node_cfg)
 
     @jax.jit
     def render_view(cam):
-        d = warp(nodes, node_cfg, gauss.xyz, cam.time,
-                 feature=gauss.feature, motion_mask=gauss.motion_mask)
+        d = deform_gaussians(nodes, deform_cfg, gauss.xyz, cam.time,
+                             feature=gauss.feature,
+                             motion_mask=gauss.motion_mask)
         out = render(cam, gauss, bg, d_xyz=d["d_xyz"],
                      d_rotation=d["d_rotation"], d_scaling=d["d_scaling"],
                      cfg=raster_cfg)

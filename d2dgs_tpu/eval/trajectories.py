@@ -16,7 +16,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.cameras import Camera, orbit_camera
-from ..models.nodes import warp
 from ..render.renderer import render
 
 
@@ -53,17 +52,22 @@ def render_trajectory(cams, gauss, nodes, node_cfg, raster_cfg,
                       out_dir: str | None = None, bg=None,
                       save_video: bool = True,
                       video_name: str = "video.gif",
-                      fps: int = 20) -> list[np.ndarray]:
+                      fps: int = 20, deform_cfg=None) -> list[np.ndarray]:
     """Render a list of cameras (all same HxW) with the deformation field
     applied at each camera's time.  Saves frame PNGs and an animated GIF
     (the reference writes mp4 via imageio-ffmpeg, absent here)."""
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
+    if deform_cfg is None:
+        from ..models.deform import DeformConfig
+        deform_cfg = DeformConfig(deform_type="node", node=node_cfg)
 
     @jax.jit
     def render_view(cam):
-        d = warp(nodes, node_cfg, gauss.xyz, cam.time,
-                 feature=gauss.feature, motion_mask=gauss.motion_mask)
+        from ..models.deform import deform_gaussians
+        d = deform_gaussians(nodes, deform_cfg, gauss.xyz, cam.time,
+                             feature=gauss.feature,
+                             motion_mask=gauss.motion_mask)
         out = render(cam, gauss, bg, d_xyz=d["d_xyz"],
                      d_rotation=d["d_rotation"], d_scaling=d["d_scaling"],
                      cfg=raster_cfg)

@@ -11,7 +11,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..models.nodes import warp
+from ..models.deform import DeformConfig, deform_gaussians
 from ..render.renderer import render
 from .tsdf import (TsdfVolume, extract_mesh, integrate_view,
                    largest_components, make_volume)
@@ -24,19 +24,23 @@ def reconstruct_mesh(cameras, gauss, nodes, node_cfg, raster_cfg,
                      voxel: float = 0.008, depth_trunc: float = 6.0,
                      keep_clusters: int = 1,
                      depth_filtering: bool = True,
-                     return_colors: bool = False):
+                     return_colors: bool = False,
+                     deform_cfg=None):
     """cameras: list[Camera]; alpha_masks: optional list of [H,W,1] gt
     masks (depth zeroed where mask < 0.5, mesh_utils.py:185-186).
     Returns (verts, faces) or (verts, faces, vert_colors)."""
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
+    if deform_cfg is None:
+        deform_cfg = DeformConfig(deform_type="node", node=node_cfg)
     vol = make_volume(bounds[0], bounds[1], voxel=voxel)
     t = jnp.float32(mesh_time)
 
     @jax.jit
     def render_view(cam):
-        d = warp(nodes, node_cfg, gauss.xyz, t, feature=gauss.feature,
-                 motion_mask=gauss.motion_mask)
+        d = deform_gaussians(nodes, deform_cfg, gauss.xyz, t,
+                             feature=gauss.feature,
+                             motion_mask=gauss.motion_mask)
         out = render(cam, gauss, bg, d_xyz=d["d_xyz"],
                      d_rotation=d["d_rotation"], d_scaling=d["d_scaling"],
                      depth_filtering=depth_filtering, cfg=raster_cfg)

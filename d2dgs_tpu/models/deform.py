@@ -61,11 +61,12 @@ def apply_deform_field(params, cfg: DeformConfig, xyz: jnp.ndarray, t,
         mm = (motion_mask if motion_mask is not None
               else jnp.ones((n, 1), jnp.float32))
         return warp(params, cfg.node, xyz, t, feature=feature,
-                    motion_mask=mm)
+                    motion_mask=mm, step=step)
     if cfg.deform_type == "mlp":
         tt = jnp.broadcast_to(jnp.asarray(t, jnp.float32).reshape(1, 1),
                               (n, 1)) if jnp.ndim(t) == 0 else t
-        d = mlp_forward(params, cfg.mlp, jax.lax.stop_gradient(xyz), tt)
+        d = mlp_forward(params, cfg.mlp, jax.lax.stop_gradient(xyz), tt,
+                        step=step)
         return {"d_xyz": d["d_xyz"], "d_rotation": d["d_rotation"],
                 "d_scaling": d["d_scaling"],
                 "d_opacity": d.get("d_opacity"),
@@ -82,3 +83,17 @@ def apply_deform_field(params, cfg: DeformConfig, xyz: jnp.ndarray, t,
     return {"d_xyz": z3, "d_rotation": jnp.zeros((n, 4)),
             "d_scaling": jnp.zeros((n, 2)), "d_opacity": None,
             "d_color": None}
+
+
+def deform_gaussians(nodes: NodeParams, cfg: DeformConfig, xyz: jnp.ndarray,
+                     t, feature=None, motion_mask=None, step=10**9) -> dict:
+    """Training/eval dispatch over the single TrainState slot: the state
+    always carries a NodeParams; for non-"node" deform types its `.mlp`
+    dict holds the field parameters (MLP dict / hash tables / {}).  This
+    is the DeformModel.step equivalent (scene/deform_model.py:41-44) used
+    by the trainer, eval renderers, and the mesh extractor."""
+    if cfg.deform_type == "node":
+        return apply_deform_field(nodes, cfg, xyz, t, feature=feature,
+                                  motion_mask=motion_mask, step=step)
+    return apply_deform_field(nodes.mlp, cfg, xyz, t, feature=feature,
+                              motion_mask=motion_mask, step=step)

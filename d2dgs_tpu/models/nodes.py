@@ -41,6 +41,10 @@ class NodeConfig:
     # default, time_utils.py:1148-1154); "dqb": dual-quaternion blend
     # (BASELINE.json's LBS-style DQ skinning option, SURVEY.md §2d)
     skinning: str = "lbs"
+    # f32 KNN membership selection for bit-parity with the reference's
+    # exact knn_points (docs/PARITY.md); default bf16 halves selection
+    # traffic and only near-tie memberships can differ
+    exact_knn: bool = False
     mlp: MLPConfig = MLPConfig()
 
     @property
@@ -134,7 +138,8 @@ def cal_nn_weight(params: NodeParams, cfg: NodeConfig, x: jnp.ndarray,
     # membership selection runs in bf16 (halves the [N, M] argmin-round
     # traffic); the EXACT distances used for the weights are recomputed
     # in f32 below, so only near-tie neighbor membership can differ
-    d2_sel = d2_full.astype(jnp.bfloat16)
+    # (docs/PARITY.md; exact_knn keeps the selection in f32)
+    d2_sel = d2_full if cfg.exact_knn else d2_full.astype(jnp.bfloat16)
     cols = jnp.arange(d2_full.shape[1], dtype=jnp.int32)[None, :]
     idxs = []
     for _ in range(K):
@@ -165,32 +170,36 @@ def expand_time(params: NodeParams, t) -> jnp.ndarray:
 
 
 def node_deform(params: NodeParams, cfg: NodeConfig, t: jnp.ndarray,
-                detach_node: bool = True) -> dict:
+                detach_node: bool = True, step=10**9) -> dict:
     """Query the MLP at node positions. t: [M,1] or [M,T,1]
-    (time_utils.py:990-1002)."""
+    (time_utils.py:990-1002).  `step` is the traced training iteration
+    driving progressive_band_time annealing (deform.update(iteration) at
+    train_gui.py:434)."""
     xyz = params.nodes[:, :3]
     if detach_node:
         xyz = jax.lax.stop_gradient(xyz)
     if t.ndim == 3:
         m, tt, _ = t.shape
         xyz = jnp.broadcast_to(xyz[:, None, :], (m, tt, 3))
-    return mlp_forward(params.mlp, cfg.mlp, xyz, t)
+    return mlp_forward(params.mlp, cfg.mlp, xyz, t, step=step)
 
 
 def warp(params: NodeParams, cfg: NodeConfig, x: jnp.ndarray, t,
-         feature: jnp.ndarray | None, motion_mask: jnp.ndarray) -> dict:
+         feature: jnp.ndarray | None, motion_mask: jnp.ndarray,
+         step=10**9) -> dict:
     """Deform Gaussians at time t (ControlNodeWarp.forward,
     time_utils.py:1133-1226; the interactive-editing node_trans_bias paths
     live in the editing module, not here).
 
-    x: [N,3] canonical xyz; t: scalar or [M,1]; motion_mask: [N,1].
+    x: [N,3] canonical xyz; t: scalar or [M,1]; motion_mask: [N,1];
+    step: traced training iteration (progressive_band_time annealing).
     Returns dict(d_xyz [N,3], d_rotation [N,4], d_scaling [N,2],
     d_opacity, d_color).
     """
     t = expand_time(params, t) if jnp.ndim(t) == 0 else t
     x = jax.lax.stop_gradient(x)
     nn_weight, _, nn_idx = cal_nn_weight(params, cfg, x, feature)
-    attrs = node_deform(params, cfg, t)
+    attrs = node_deform(params, cfg, t, step=step)
     node_trans, node_rot = attrs["d_xyz"], attrs["d_rotation"]
     node_scale = attrs["d_scaling"]
     m = params.nodes.shape[0]

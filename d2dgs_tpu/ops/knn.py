@@ -9,6 +9,12 @@ Replaces both native KNN dependencies of the reference:
 Distances are computed as |x|^2 + |y|^2 - 2 x.y so the dominant term is a
 matmul that XLA tiles onto the MXU; top-k runs on the [Q, M] score matrix.
 Query chunking (lax.map) bounds memory for large Q.
+
+The expanded form suffers catastrophic cancellation in f32 (self-distance
+residuals ~1e-8 that sqrt inflates to ~1e-4 — breaks chamfer metrics), so
+after top-k selection the returned distances are RECOMPUTED exactly as
+|q - r|^2 on the selected [Q,k] pairs — cheap, and the returned values are
+full f32-accurate while selection keeps the MXU-friendly matmul form.
 """
 from __future__ import annotations
 
@@ -42,8 +48,12 @@ def knn(query: jnp.ndarray, ref: jnp.ndarray, k: int,
             rows = row0 + jnp.arange(query_chunk, dtype=jnp.int32)
             cols = jnp.arange(m, dtype=jnp.int32)
             d2 = jnp.where(rows[:, None] == cols[None, :], jnp.inf, d2)
-        neg, idx = jax.lax.top_k(-d2, k)
-        return -neg, idx
+        _, idx = jax.lax.top_k(-d2, k)
+        # exact diff-form recompute of the selected distances (see module
+        # docstring): kills the expanded form's f32 cancellation residue
+        diff = qrows[:, None, :] - ref[idx]                 # [C,k,D]
+        d2_sel = jnp.sum(diff * diff, axis=-1)
+        return d2_sel, idx
 
     d2, idx = jax.lax.map(chunk_fn, (qc, base))
     d2 = d2.reshape(-1, k)[:q]

@@ -375,7 +375,13 @@ def build_work_queue(feats: jnp.ndarray, binning, num_tiles: int,
     wc = w - work_start[wt]                                   # chunk-in-tile
     pad = w >= total_work
     first = ((wc == 0) & ~pad).astype(jnp.int32)
-    last = ((wc == nch[wt] - 1) & ~pad).astype(jnp.int32)
+    # `last` marks each tile's FINAL IN-CAP work item: the backward's
+    # reverse walk seeds its VMEM gradient scratch at last==1, so when
+    # total_work > w_cap the truncated tile's last flag must be clamped
+    # into the cap (otherwise the scratch is read uninitialized and the
+    # tile's pair gradients are garbage).  end = min(tile end, cap).
+    end = jnp.minimum(work_start[wt + 1], w_cap)
+    last = ((w == end - 1) & ~pad).astype(jnp.int32)
     work_tile = jnp.where(pad, num_tiles, wt).astype(jnp.int32)
 
     base = binning.tile_start[wt] + wc * ch                   # [W]
@@ -395,8 +401,11 @@ def build_work_queue(feats: jnp.ndarray, binning, num_tiles: int,
     return g, work_tile, first, last, overflow
 
 
-def _fwd_wq_kernel(tile_ref, first_ref, last_ref, gdata_ref, out_ref,
-                   carry_ref, *, gx, num_tiles):
+def _fwd_wq_kernel(tile_ref, gtile_ref, first_ref, last_ref, gdata_ref,
+                   out_ref, carry_ref, *, gx, num_tiles):
+    # tile_ref: OUTPUT-slot tile index (local slab index when sharded);
+    # gtile_ref: tile index in the GLOBAL pixel grid (pixel coords).
+    # Single-chip passes the same array twice.
     w = pl.program_id(0)
 
     @pl.when(first_ref[w] == 1)
@@ -414,12 +423,13 @@ def _fwd_wq_kernel(tile_ref, first_ref, last_ref, gdata_ref, out_ref,
 
     @pl.when(active)
     def _():
-        px, py = _tile_pix(t, gx)
+        px, py = _tile_pix(gtile_ref[w], gx)
         out_ref[0] = _chunk_step(out_ref[0], gdata_ref[0], px, py)
 
 
-def _bwd_wq_kernel(tile_ref, first_ref, last_ref, gdata_ref, carries_ref,
-                   gout_ref, dg_ref, gst_ref, *, gx, num_tiles, w_cap):
+def _bwd_wq_kernel(tile_ref, gtile_ref, first_ref, last_ref, gdata_ref,
+                   carries_ref, gout_ref, dg_ref, gst_ref, *, gx,
+                   num_tiles, w_cap):
     i = pl.program_id(0)
     w = w_cap - 1 - i
 
@@ -438,7 +448,7 @@ def _bwd_wq_kernel(tile_ref, first_ref, last_ref, gdata_ref, carries_ref,
 
     @pl.when(active)
     def _():
-        px, py = _tile_pix(t, gx)
+        px, py = _tile_pix(gtile_ref[w], gx)
         st_c = jnp.concatenate(
             [saved, jnp.zeros((NSTATE - NCARRY, PIX), jnp.float32)], axis=0)
         fun = lambda s, fe: _chunk_step(s, fe, px, py)
@@ -458,7 +468,7 @@ def _fwd_wq_call(num_tiles: int, gx: int, w_cap: int, chunk: int,
                  interpret: bool):
     kern = functools.partial(_fwd_wq_kernel, gx=gx, num_tiles=num_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,          # work_tile, first, last in SMEM
+        num_scalar_prefetch=4,   # work_tile, gtile, first, last in SMEM
         grid=(w_cap,),
         in_specs=[
             pl.BlockSpec((1, chunk, NFEAT), lambda w, *_: (w, 0, 0),
@@ -490,7 +500,7 @@ def _bwd_wq_call(num_tiles: int, gx: int, w_cap: int, chunk: int,
                              w_cap=w_cap)
     rev = lambda i: w_cap - 1 - i
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(w_cap,),
         in_specs=[
             pl.BlockSpec((1, chunk, NFEAT), lambda i, *_: (rev(i), 0, 0),
@@ -514,14 +524,17 @@ def _bwd_wq_call(num_tiles: int, gx: int, w_cap: int, chunk: int,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def blend_tiles_wq(gdata, work_tile, first, last, num_tiles: int, gx: int,
-                   w_cap: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def blend_tiles_wq(gdata, work_tile, gtile, first, last, num_tiles: int,
+                   gx: int, w_cap: int):
     """Work-queue blend: compact [W, chunk, NFEAT] pair features ->
     [num_tiles, NSTATE, PIX] blended state rows (empty tiles = init
-    state)."""
+    state).  work_tile indexes the OUTPUT slab (local tile id when the
+    grid is sharded across devices); gtile gives each work item's tile
+    in the GLOBAL pixel grid — pass work_tile for both on one chip."""
     out, _ = _fwd_wq_call(num_tiles, gx, w_cap, gdata.shape[1],
-                          not _is_tpu())(work_tile, first, last, gdata)
+                          not _is_tpu())(work_tile, gtile, first, last,
+                                         gdata)
     return _fix_empty_tiles(out[:num_tiles], work_tile, first, num_tiles)
 
 
@@ -535,22 +548,23 @@ def _fix_empty_tiles(out, work_tile, first, num_tiles):
     return jnp.where(has[:, None, None], out, init[None, :, None])
 
 
-def _blend_wq_fwd(gdata, work_tile, first, last, num_tiles, gx, w_cap):
+def _blend_wq_fwd(gdata, work_tile, gtile, first, last, num_tiles, gx,
+                  w_cap):
     out, carries = _fwd_wq_call(num_tiles, gx, w_cap, gdata.shape[1],
                                 not _is_tpu())(
-        work_tile, first, last, gdata)
+        work_tile, gtile, first, last, gdata)
     fixed = _fix_empty_tiles(out[:num_tiles], work_tile, first, num_tiles)
-    return fixed, (gdata, work_tile, first, last, carries)
+    return fixed, (gdata, work_tile, gtile, first, last, carries)
 
 
 def _blend_wq_bwd(num_tiles, gx, w_cap, res, g_out):
-    gdata, work_tile, first, last, carries = res
+    gdata, work_tile, gtile, first, last, carries = res
     g_pad = jnp.concatenate(
         [g_out, jnp.zeros((1,) + g_out.shape[1:], g_out.dtype)], axis=0)
     dg = _bwd_wq_call(num_tiles, gx, w_cap, gdata.shape[1],
                       not _is_tpu())(
-        work_tile, first, last, gdata, carries, g_pad)
-    return (dg, None, None, None)
+        work_tile, gtile, first, last, gdata, carries, g_pad)
+    return (dg, None, None, None, None)
 
 
 blend_tiles_wq.defvjp(_blend_wq_fwd, _blend_wq_bwd)

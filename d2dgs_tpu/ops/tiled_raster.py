@@ -92,11 +92,14 @@ def blend_tiles(Tmat, center, normal, colors, opacity, binning: Binning,
                 grid_x: int, grid_y: int, cfg: RasterConfig):
     """Backend dispatch: Pallas TPU kernel or pure-XLA oracle.
 
-    Returns (tile_color [T,P,3], tile_allmap [T,P,8]).
+    Returns (tile_color [T,P,3], tile_allmap [T,P,8], overflow scalar
+    i32 — number of work-queue chunks dropped because pair_cap was
+    exceeded; 0 on the non-workqueue paths).
     """
     from .pallas.blend_tpu import (CHUNK, NFEAT, _is_tpu, blend_tiles_pallas,
                                    blend_tiles_wq, build_gdata,
                                    build_work_queue)
+    overflow = jnp.zeros((), jnp.int32)
     if (cfg.use_pallas and cfg.tile_cap % 128 == 0
             and (_is_tpu() or cfg.pallas_interpret)):
         n = Tmat.shape[0]
@@ -106,9 +109,9 @@ def blend_tiles(Tmat, center, normal, colors, opacity, binning: Binning,
         assert feats.shape[-1] == NFEAT
         num_tiles = grid_x * grid_y
         if cfg.use_workqueue and cfg.pair_cap % cfg.chunk == 0:
-            gdata, work_tile, first, last, _ = build_work_queue(
+            gdata, work_tile, first, last, overflow = build_work_queue(
                 feats, binning, num_tiles, cfg)
-            out = blend_tiles_wq(gdata, work_tile, first, last,
+            out = blend_tiles_wq(gdata, work_tile, work_tile, first, last,
                                  num_tiles, grid_x,
                                  cfg.pair_cap // cfg.chunk)
         else:
@@ -125,11 +128,11 @@ def blend_tiles(Tmat, center, normal, colors, opacity, binning: Binning,
             st[..., 11:12],              # distortion
             st[..., 13:14],              # median weight
         ], axis=-1)
-        return tile_color, tile_allmap
+        return tile_color, tile_allmap, overflow
     tile_color, tile_allmap, _ = blend_tiles_xla(
         Tmat, center, normal, colors, opacity, None, binning,
         grid_x, grid_y, cfg)
-    return tile_color, tile_allmap
+    return tile_color, tile_allmap, overflow
 
 
 def tiles_to_image(tile_img: jnp.ndarray, grid_x: int, grid_y: int,
@@ -156,7 +159,7 @@ def rasterize_tiled(means3d, scales, quats, opacities, colors, cam: Camera,
     prep = preprocess(means3d, scales, quats, cam, scale_modifier)
     binning = bin_gaussians(prep, gx, gy, cfg)
     opac = jnp.where(prep.valid, opacities, 0.0)
-    tile_color, tile_allmap = blend_tiles(
+    tile_color, tile_allmap, _ = blend_tiles(
         prep.T, prep.center, prep.normal, colors, opac,
         binning, gx, gy, cfg)
     # bg composite: color tiles already include nothing for bg; add T*bg

@@ -9,12 +9,18 @@ collectives (psum of replicated-parameter gradients) on ICI.
 from .data_parallel import (add_stats_batched, batched_main_step,
                             make_dp_main_step, make_mesh, shard_batch,
                             shard_replicated, stack_cameras)
+from .gauss_shard import (measure_exchange_counts, render_gauss_sharded,
+                          suggest_exchange_cap)
 from .gauss_train import (gauss_sharded_step, make_gauss_mesh,
-                          make_gauss_sharded_step, shard_gauss_state)
+                          make_gauss_sharded_step, make_mesh2d,
+                          make_sharded_train_step, shard_gauss_state,
+                          sharded_train_step)
 
 __all__ = [
     "add_stats_batched", "batched_main_step", "make_dp_main_step",
     "make_mesh", "shard_batch", "shard_replicated", "stack_cameras",
     "gauss_sharded_step", "make_gauss_mesh", "make_gauss_sharded_step",
-    "shard_gauss_state",
+    "shard_gauss_state", "make_mesh2d", "make_sharded_train_step",
+    "sharded_train_step", "render_gauss_sharded",
+    "measure_exchange_counts", "suggest_exchange_cap",
 ]

@@ -124,7 +124,8 @@ def batched_main_step(state: TrainState, cams, gts: jnp.ndarray,
         node_opt=node_opt, mlp_opt=mlp_opt, gauss_stats=stats, key=key)
     metrics = dict(loss=ll1,
                    psnr=jnp.mean(jax.vmap(psnr)(outs.image, gts)),
-                   num_pairs=jnp.max(outs.num_pairs))
+                   num_pairs=jnp.max(outs.num_pairs),
+                   overflow=jnp.max(outs.overflow))
     return new_state, metrics
 
 

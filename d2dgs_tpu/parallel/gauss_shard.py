@@ -12,12 +12,21 @@ Design points:
   * Tile ownership is INTERLEAVED (tile t -> device t % D) — occupancy is
     wildly non-uniform across the image, interleaving balances it
     (SURVEY.md §7 hard part #4).
+  * The per-device tile-slab blend runs the SAME Pallas work-queue kernel
+    as the single-chip path (ops/pallas/blend_tpu.py): local tile ids
+    drive the output slab, a second scalar-prefetch map carries the
+    GLOBAL tile id for pixel coordinates.  cfg.use_pallas=False falls
+    back to the pure-XLA chunk scan (the CPU-test oracle).
   * Fixed per-(src,dst) record capacity keeps shapes static under jit; an
-    overflow counter is returned so callers can size caps (the same
-    static-capacity discipline the single-chip binner uses).
+    overflow counter is returned, and `measure_exchange_counts` sizes the
+    cap from the actual scene instead of a magic constant.
   * The whole pipeline is differentiable: the exchange transposes to an
     all_to_all, sorts/gathers transpose to scatters — XLA's equivalent of
     the CUDA backward's cross-tile atomic reductions.
+  * `shard_render_core` is usable inside ANY shard_map that has a gauss
+    axis (the 2-D data x gauss train step in parallel/gauss_train.py
+    calls it per data-row); `render_gauss_sharded` wraps it in a 1-D
+    shard_map for standalone use.
 """
 from __future__ import annotations
 
@@ -43,13 +52,16 @@ class ShardRender(NamedTuple):
     image: jnp.ndarray      # [H,W,3] (replicated result)
     allmap: jnp.ndarray     # [H,W,8]
     overflow: jnp.ndarray   # scalar int32: records dropped at the exchange
+    radii: jnp.ndarray      # [N] per-gaussian screen radius (sharded)
 
 
 def _emit_records(prep, feats, grid_x: int, grid_y: int, n_dev: int,
-                  cfg: RasterConfig, exchange_cap: int):
+                  cfg: RasterConfig, exchange_cap: int,
+                  counts_only: bool = False):
     """Per-device: depth-sort local gaussians, expand tile rects, group
     records by destination device (tile % n_dev).  Returns
-    (blocks [n_dev, cap, NFEAT+1], valid [n_dev, cap], overflow)."""
+    (blocks [n_dev, cap, NFEAT+1], valid [n_dev, cap], overflow), or
+    per-destination counts [n_dev] when counts_only."""
     n = prep.depth.shape[0]
     r_cap = cfg.max_tiles_per_gaussian
     num_tiles = grid_x * grid_y
@@ -74,6 +86,9 @@ def _emit_records(prep, feats, grid_x: int, grid_y: int, n_dev: int,
     tile = jnp.where(ok, ty * grid_x + tx, num_tiles).astype(jnp.int32)
 
     dest = jnp.where(ok, tile % n_dev, n_dev).astype(jnp.int32)
+    if counts_only:
+        return jnp.sum(jax.nn.one_hot(dest.ravel(), n_dev,
+                                      dtype=jnp.int32), axis=0)
     flat_dest = dest.ravel()
     flat_tile = tile.ravel()
     flat_gid = jnp.broadcast_to(order[:, None], (n, r_cap)).ravel()
@@ -100,21 +115,17 @@ def _emit_records(prep, feats, grid_x: int, grid_y: int, n_dev: int,
     return blocks, blk_ok, overflow
 
 
-def _blend_local_tiles(recs, rec_ok, my_tiles, grid_x, grid_y,
-                       cfg: RasterConfig, n_dev: int, dev_id):
-    """recs: [R, NFEAT+1] records for THIS device's tiles (unsorted
-    across sources); my_tiles: number of owned tiles (static)."""
-    num_tiles = grid_x * grid_y
-    Ppix = TILE * TILE
-
+def _sort_records(recs, rec_ok, my_tiles, num_tiles, n_dev, dev_id):
+    """Merge exchanged records by (tile, depth) and find this device's
+    per-local-tile ranges.  Returns (s_feat [R,NFEAT], s_ok [R],
+    tile_start [my_tiles], tile_count [my_tiles], glob [my_tiles])."""
     tile_g = recs[..., -1].astype(jnp.int32)            # global tile id
     tile_g = jnp.where(rec_ok, tile_g, num_tiles)
     depth = jnp.where(rec_ok, recs[..., 18], jnp.inf)
-    # merge sources by (tile, depth); stability keeps deterministic ties
     feat_cols = [recs[..., i] for i in range(NFEAT)]
     sorted_all = jax.lax.sort((tile_g, depth, *feat_cols, rec_ok),
                               num_keys=2, is_stable=True)
-    s_tile, _s_depth = sorted_all[0], sorted_all[1]
+    s_tile = sorted_all[0]
     s_feat = jnp.stack(sorted_all[2:2 + NFEAT], axis=-1)
     s_ok = sorted_all[-1]
 
@@ -124,15 +135,22 @@ def _blend_local_tiles(recs, rec_ok, my_tiles, grid_x, grid_y,
         jnp.int32)
     tile_end = jnp.searchsorted(s_tile, glob + 1, side="left").astype(
         jnp.int32)
-    tile_count = tile_end - tile_start
+    return s_feat, s_ok, tile_start, tile_end - tile_start, glob
 
+
+def _blend_tiles_scan(s_feat, s_ok, tile_start, tile_count, glob,
+                      grid_x, grid_y, cfg: RasterConfig, my_tiles):
+    """Pure-XLA chunked scan over the sorted records (CPU oracle)."""
+    num_tiles = grid_x * grid_y
+    Ppix = TILE * TILE
+    tile_end = tile_start + tile_count
     all_pix = _tile_pixels(grid_x, grid_y)              # [T_all, P, 2]
     pad = jnp.zeros((1, Ppix, 2), jnp.float32)
     pix = jnp.concatenate([all_pix, pad], axis=0)[
         jnp.clip(glob, 0, num_tiles)]                   # [my_tiles, P, 2]
 
     n_chunks = max(cfg.tile_cap // cfg.chunk, 1)
-    R = recs.shape[0]
+    R = s_feat.shape[0]
     state0 = jax.vmap(lambda _: B.init_state(Ppix))(jnp.arange(my_tiles))
 
     @jax.checkpoint
@@ -159,13 +177,141 @@ def _blend_local_tiles(recs, rec_ok, my_tiles, grid_x, grid_y,
                             jnp.arange(n_chunks, dtype=jnp.int32))
     color, allmap = jax.vmap(B.finalize, in_axes=(0, None))(
         state, jnp.zeros((3,), jnp.float32))
-    return color, allmap, tile_count
+    return color, allmap
+
+
+def _blend_tiles_wq(s_feat, s_ok, tile_start, tile_count, glob,
+                    grid_x, grid_y, cfg: RasterConfig, my_tiles, n_dev,
+                    dev_id):
+    """Per-device-slab blend through the Pallas work-queue kernel
+    (ops/pallas/blend_tpu.py): one grid step per actual record chunk of
+    this device's tiles; local ids index the output slab, global ids give
+    pixel coordinates."""
+    from ..ops.pallas.blend_tpu import NSTATE, blend_tiles_wq
+
+    ch = cfg.chunk
+    R = s_feat.shape[0]
+    # static work capacity: every record chunk + one partial per tile
+    # (ceil so the queue can never truncate)
+    w_cap = -(-R // ch) + my_tiles
+    counts = jnp.minimum(tile_count, cfg.tile_cap).astype(jnp.int32)
+    nch = (counts + ch - 1) // ch
+    work_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nch, dtype=jnp.int32)])
+    total_work = work_start[-1]
+
+    w = jnp.arange(w_cap, dtype=jnp.int32)
+    wt = jnp.clip(jnp.searchsorted(work_start, w, side="right") - 1,
+                  0, my_tiles - 1).astype(jnp.int32)
+    wc = w - work_start[wt]
+    pad = w >= total_work
+    first = ((wc == 0) & ~pad).astype(jnp.int32)
+    end = jnp.minimum(work_start[wt + 1], w_cap)
+    last = ((w == end - 1) & ~pad).astype(jnp.int32)
+    work_tile = jnp.where(pad, my_tiles, wt).astype(jnp.int32)
+    gtile = jnp.where(pad, 0, glob[wt]).astype(jnp.int32)
+
+    base = tile_start[wt] + wc * ch
+    slots = base[:, None] + jnp.arange(ch, dtype=jnp.int32)[None, :]
+    ok = ((jnp.arange(ch, dtype=jnp.int32)[None, :]
+           < (counts[wt] - wc * ch)[:, None]) & ~pad[:, None])
+    slots = jnp.clip(slots, 0, R - 1)
+    ok = ok & s_ok[slots]
+    gdata = jnp.where(ok[..., None], s_feat[slots][..., :18], 0.0)
+
+    out = blend_tiles_wq(gdata, work_tile, gtile, first, last,
+                         my_tiles, grid_x, w_cap)       # [myT,NSTATE,PIX]
+    st = jnp.swapaxes(out, 1, 2)                        # [myT,PIX,NSTATE]
+    color = st[..., 4:7]
+    allmap = jnp.concatenate([
+        st[..., 7:8], 1.0 - st[..., 0:1], st[..., 8:11],
+        st[..., 12:13], st[..., 11:12], st[..., 13:14]], axis=-1)
+    return color, allmap
+
+
+def shard_render_core(cam: Camera, means, scl, qt, opc, col, alv,
+                      grid_x: int, grid_y: int, n_dev: int,
+                      cfg: RasterConfig, exchange_cap: int,
+                      screen_probe=None, axis: str = AXIS):
+    """Per-shard render body — call INSIDE a shard_map that has `axis`.
+    Returns (color_all [D,myT,P,3], allmap_all [D,myT,P,8],
+    overflow scalar, radii [n_local]) — color/allmap replicated (gathered),
+    radii per-shard."""
+    num_tiles = grid_x * grid_y
+    my_tiles = -(-num_tiles // n_dev)
+    dev_id = jax.lax.axis_index(axis)
+
+    prep = preprocess(means, scl, qt, cam)
+    valid = prep.valid & alv
+    prep = prep._replace(valid=valid,
+                         radius=jnp.where(valid, prep.radius, 0))
+    Tmat = prep.T
+    if screen_probe is not None:
+        # NDC screen-grad hack for densification stats
+        # (render/renderer.py docstring; backward.cu:645-648)
+        sx = jax.lax.stop_gradient(Tmat[:, 2, 2] * (cam.W / 2.0))
+        sy = jax.lax.stop_gradient(Tmat[:, 2, 2] * (cam.H / 2.0))
+        Tmat = Tmat.at[:, 0, 2].add(screen_probe[:, 0] * sx)
+        Tmat = Tmat.at[:, 1, 2].add(screen_probe[:, 1] * sy)
+    opc_m = jnp.where(valid, opc, 0.0)
+    n = means.shape[0]
+    feats = jnp.concatenate(
+        [Tmat.reshape(n, 9), prep.center, prep.normal, col,
+         opc_m[:, None], prep.depth[:, None]], axis=-1)
+
+    blocks, blk_ok, overflow = _emit_records(
+        prep, feats, grid_x, grid_y, n_dev, cfg, exchange_cap)
+    # the exchange: blocks[d] -> device d   (ICI all_to_all)
+    recs = jax.lax.all_to_all(blocks, axis, split_axis=0,
+                              concat_axis=0, tiled=True)
+    rec_ok = jax.lax.all_to_all(blk_ok, axis, split_axis=0,
+                                concat_axis=0, tiled=True)
+
+    s_feat, s_ok, tile_start, tile_count, glob = _sort_records(
+        recs.reshape(-1, NFEAT + 1), rec_ok.reshape(-1), my_tiles,
+        num_tiles, n_dev, dev_id)
+    from ..ops.pallas.blend_tpu import _is_tpu
+    if (cfg.use_pallas and cfg.tile_cap % cfg.chunk == 0
+            and (_is_tpu() or cfg.pallas_interpret)):
+        color, allmap = _blend_tiles_wq(
+            s_feat, s_ok, tile_start, tile_count, glob, grid_x, grid_y,
+            cfg, my_tiles, n_dev, dev_id)
+    else:
+        color, allmap = _blend_tiles_scan(
+            s_feat, s_ok, tile_start, tile_count, glob, grid_x, grid_y,
+            cfg, my_tiles)
+    overflow = jax.lax.psum(overflow, axis)
+    # gather everyone's tile slabs -> full interleaved tile array
+    color_all = jax.lax.all_gather(color, axis)   # [D, my_tiles, P, 3]
+    allmap_all = jax.lax.all_gather(allmap, axis)
+    return color_all, allmap_all, overflow, prep.radius
+
+
+def assemble_interleaved(color_all, allmap_all, bg, grid_x, grid_y,
+                         H, W):
+    """[D, my_tiles, P, C] interleaved slabs -> composited [H,W,*] maps."""
+    from ..ops.tiled_raster import tiles_to_image
+    num_tiles = grid_x * grid_y
+
+    def deinterleave(x):
+        D, T_loc = x.shape[0], x.shape[1]
+        x = jnp.swapaxes(x, 0, 1).reshape(D * T_loc, *x.shape[2:])
+        return x[:num_tiles]
+
+    tile_color = deinterleave(color_all)
+    tile_allmap = deinterleave(allmap_all)
+    Tfinal = 1.0 - tile_allmap[..., 1:2]
+    tile_color = tile_color + Tfinal * bg[None, None, :]
+    image = tiles_to_image(tile_color, grid_x, grid_y, H, W)
+    allmap = tiles_to_image(tile_allmap, grid_x, grid_y, H, W)
+    return image, allmap
 
 
 def render_gauss_sharded(mesh: Mesh, cam: Camera, means3d, scales, quats,
                          opacity, colors, alive, bg,
                          cfg: RasterConfig = RasterConfig(),
-                         exchange_cap: int = 4096) -> ShardRender:
+                         exchange_cap: int = 4096,
+                         screen_probe=None) -> ShardRender:
     """Render with Gaussians sharded over mesh axis AXIS and image tiles
     sharded (interleaved) over the same axis.  All per-gaussian arrays
     must be shardable on dim 0 by the mesh size; returns replicated maps.
@@ -173,60 +319,61 @@ def render_gauss_sharded(mesh: Mesh, cam: Camera, means3d, scales, quats,
     n_dev = mesh.shape[AXIS]
     H, W = cam.H, cam.W
     gx, gy = tile_grid(H, W)
-    num_tiles = gx * gy
-    my_tiles = -(-num_tiles // n_dev)  # ceil: padded tile slots at the end
 
-    def shard_fn(means, scl, qt, opc, col, alv):
-        dev_id = jax.lax.axis_index(AXIS)
+    def shard_fn(means, scl, qt, opc, col, alv, probe):
+        return shard_render_core(cam, means, scl, qt, opc, col, alv,
+                                 gx, gy, n_dev, cfg, exchange_cap,
+                                 screen_probe=(probe if screen_probe
+                                               is not None else None))
+
+    in_specs = (P(AXIS),) * 7
+    probe = (screen_probe if screen_probe is not None
+             else jnp.zeros((means3d.shape[0], 2), jnp.float32))
+    # outputs ARE replicated (all_gather/psum) but the vma tracker can't
+    # prove it through the sort/scan pipeline — hence check_vma=False
+    color_all, allmap_all, overflow, radii = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=in_specs,
+        out_specs=(P(), P(), P(), P(AXIS)), check_vma=False)(
+        means3d, scales, quats, opacity, colors, alive, probe)
+
+    image, allmap = assemble_interleaved(color_all, allmap_all, bg,
+                                         gx, gy, H, W)
+    return ShardRender(image=image, allmap=allmap, overflow=overflow,
+                       radii=radii)
+
+
+def measure_exchange_counts(mesh: Mesh, cam: Camera, means3d, scales,
+                            quats, alive,
+                            cfg: RasterConfig = RasterConfig()):
+    """Max per-(src,dst) record count of the exchange for THIS scene —
+    the auto-sizing input for exchange_cap (instead of magic constants).
+    Returns a scalar int (host)."""
+    n_dev = mesh.shape[AXIS]
+    gx, gy = tile_grid(cam.H, cam.W)
+
+    def shard_fn(means, scl, qt, alv):
         prep = preprocess(means, scl, qt, cam)
         valid = prep.valid & alv
         prep = prep._replace(valid=valid,
                              radius=jnp.where(valid, prep.radius, 0))
-        opc_m = jnp.where(valid, opc, 0.0)
-        n = means.shape[0]
-        feats = jnp.concatenate(
-            [prep.T.reshape(n, 9), prep.center, prep.normal, col,
-             opc_m[:, None], prep.depth[:, None]], axis=-1)
+        counts = _emit_records(prep, None, gx, gy, n_dev, cfg,
+                               exchange_cap=0, counts_only=True)
+        return jax.lax.pmax(jnp.max(counts), AXIS)
 
-        blocks, blk_ok, overflow = _emit_records(
-            prep, feats, gx, gy, n_dev, cfg, exchange_cap)
-        # the exchange: blocks[d] -> device d   (ICI all_to_all)
-        recs = jax.lax.all_to_all(blocks, AXIS, split_axis=0,
-                                  concat_axis=0, tiled=True)
-        rec_ok = jax.lax.all_to_all(blk_ok, AXIS, split_axis=0,
-                                    concat_axis=0, tiled=True)
+    mx = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(AXIS),) * 4,
+        out_specs=P(), check_vma=False))(means3d, scales, quats, alive)
+    return int(mx)
 
-        color, allmap, _cnt = _blend_local_tiles(
-            recs.reshape(-1, NFEAT + 1), rec_ok.reshape(-1),
-            my_tiles, gx, gy, cfg, n_dev, dev_id)
-        overflow = jax.lax.psum(overflow, AXIS)
-        # gather everyone's tile slabs -> full interleaved tile array
-        color_all = jax.lax.all_gather(color, AXIS)   # [D, my_tiles, P, 3]
-        allmap_all = jax.lax.all_gather(allmap, AXIS)
-        return color_all, allmap_all, overflow
 
-    in_specs = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS))
-    # outputs ARE replicated (all_gather/psum) but the vma tracker can't
-    # prove it through the sort/scan pipeline — hence check_vma=False
-    color_all, allmap_all, overflow = jax.shard_map(
-        shard_fn, mesh=mesh, in_specs=in_specs,
-        out_specs=(P(), P(), P()), check_vma=False)(
-        means3d, scales, quats, opacity, colors, alive)
-
-    # un-interleave: global tile t lives at color_all[t % D, t // D]
-    def deinterleave(x):
-        D, T_loc = x.shape[0], x.shape[1]
-        x = jnp.swapaxes(x, 0, 1).reshape(D * T_loc, *x.shape[2:])
-        return x[:num_tiles]
-
-    from ..ops.tiled_raster import tiles_to_image
-    tile_color = deinterleave(color_all)
-    tile_allmap = deinterleave(allmap_all)
-    Tfinal = 1.0 - tile_allmap[..., 1:2]
-    tile_color = tile_color + Tfinal * bg[None, None, :]
-    image = tiles_to_image(tile_color, gx, gy, H, W)
-    allmap = tiles_to_image(tile_allmap, gx, gy, H, W)
-    return ShardRender(image=image, allmap=allmap, overflow=overflow)
+def suggest_exchange_cap(mesh: Mesh, cams, means3d, scales, quats, alive,
+                         cfg: RasterConfig = RasterConfig(),
+                         margin: float = 1.5, quantum: int = 256) -> int:
+    """Size the exchange from measured per-destination counts over a
+    sample of cameras, with headroom for training-time growth."""
+    mx = max(measure_exchange_counts(mesh, c, means3d, scales, quats,
+                                     alive, cfg) for c in cams)
+    return max(quantum, int(-(-mx * margin // quantum)) * quantum)
 
 
 def shard_gaussians(mesh: Mesh, tree):

@@ -40,6 +40,8 @@ class RenderOutput(NamedTuple):
     visibility: jnp.ndarray   # [N] bool: radii > 0
     allmap: jnp.ndarray       # [H,W,8] raw aux channels
     num_pairs: jnp.ndarray    # scalar: binned pair count (load metric)
+    overflow: jnp.ndarray     # scalar i32: work-queue chunks dropped
+                              # (pair_cap exceeded) — should be 0
 
 
 def depth_to_normal(cam: Camera, depth: jnp.ndarray):
@@ -63,6 +65,36 @@ def depth_to_normal(cam: Camera, depth: jnp.ndarray):
     normal = jnp.zeros_like(points)
     normal = normal.at[1:-1, 1:-1].set(n)
     return normal, points
+
+
+def postprocess_maps(cam: Camera, image: jnp.ndarray, allmap: jnp.ndarray,
+                     bg: jnp.ndarray, depth_filtering: bool,
+                     cfg: RasterConfig):
+    """Aux-map post-processing (gaussian_renderer/__init__.py:160-207):
+    world-frame normals, expected/median surf depth, depth->pseudo-normal,
+    mesh-export background masking.  Shared by the single-chip renderer
+    and the gauss-sharded renderer (parallel/gauss_shard.py)."""
+    H, W = image.shape[0], image.shape[1]
+    if depth_filtering:
+        white = jnp.all(bg >= 0.95)
+        mask_w = 1.0 - jnp.all(image >= 0.95, axis=-1).astype(jnp.float32)
+        mask_b = 1.0 - jnp.all(image <= 0.05, axis=-1).astype(jnp.float32)
+        mask = jnp.where(white, mask_w, mask_b)[..., None]
+    else:
+        mask = jnp.ones((H, W, 1), jnp.float32)
+
+    alpha = allmap[..., 1:2]
+    # rotate camera-frame normals to world: n_w = R_w2c^T n_c
+    rend_normal = (allmap[..., 2:5] @ cam.w2c[:3, :3]) * mask
+    depth_median = jnp.nan_to_num(allmap[..., 5:6], 0, 0)
+    depth_expected = jnp.nan_to_num(allmap[..., 0:1] / jnp.where(
+        alpha == 0, 1.0, alpha), 0, 0)
+    rend_dist = allmap[..., 6:7] * mask
+    surf_depth = (depth_expected * (1.0 - cfg.depth_ratio)
+                  + cfg.depth_ratio * depth_median) * mask
+    surf_normal, _ = depth_to_normal(cam, surf_depth[..., 0])
+    surf_normal = surf_normal * jax.lax.stop_gradient(alpha) * mask
+    return alpha, rend_normal, rend_dist, surf_depth, surf_normal
 
 
 def render(cam: Camera, params: GaussianParams, bg: jnp.ndarray,
@@ -101,7 +133,7 @@ def render(cam: Camera, params: GaussianParams, bg: jnp.ndarray,
 
     binning = bin_gaussians(prep, gx, gy, cfg)
     opac = jnp.where(prep.valid, opacity, 0.0)
-    tile_color, tile_allmap = blend_tiles(
+    tile_color, tile_allmap, overflow = blend_tiles(
         Tmat, prep.center, prep.normal, colors, opac,
         binning, gx, gy, cfg)
     Tfinal = 1.0 - tile_allmap[..., 1:2]
@@ -109,32 +141,15 @@ def render(cam: Camera, params: GaussianParams, bg: jnp.ndarray,
     image = tiles_to_image(tile_color, gx, gy, H, W)
     allmap = tiles_to_image(tile_allmap, gx, gy, H, W)
 
-    # --- post-processing (gaussian_renderer/__init__.py:160-207) ---
-    if depth_filtering:
-        white = jnp.all(bg >= 0.95)
-        mask_w = 1.0 - jnp.all(image >= 0.95, axis=-1).astype(jnp.float32)
-        mask_b = 1.0 - jnp.all(image <= 0.05, axis=-1).astype(jnp.float32)
-        mask = jnp.where(white, mask_w, mask_b)[..., None]
-    else:
-        mask = jnp.ones((H, W, 1), jnp.float32)
-
-    alpha = allmap[..., 1:2]
-    # rotate camera-frame normals to world: n_w = R_w2c^T n_c
-    rend_normal = (allmap[..., 2:5] @ cam.w2c[:3, :3]) * mask
-    depth_median = jnp.nan_to_num(allmap[..., 5:6], 0, 0)
-    depth_expected = jnp.nan_to_num(allmap[..., 0:1] / jnp.where(
-        alpha == 0, 1.0, alpha), 0, 0)
-    rend_dist = allmap[..., 6:7] * mask
-    surf_depth = (depth_expected * (1.0 - cfg.depth_ratio)
-                  + cfg.depth_ratio * depth_median) * mask
-    surf_normal, _ = depth_to_normal(cam, surf_depth[..., 0])
-    surf_normal = surf_normal * jax.lax.stop_gradient(alpha) * mask
+    (alpha, rend_normal, rend_dist, surf_depth,
+     surf_normal) = postprocess_maps(cam, image, allmap, bg,
+                                     depth_filtering, cfg)
 
     return RenderOutput(
         image=image, alpha=alpha, rend_normal=rend_normal,
         rend_dist=rend_dist, depth=surf_depth, surf_normal=surf_normal,
         radii=prep.radius, visibility=prep.radius > 0, allmap=allmap,
-        num_pairs=binning.num_pairs)
+        num_pairs=binning.num_pairs, overflow=overflow)
 
 
 def _full_proj_uvz(xyz: jnp.ndarray, cam: Camera,

@@ -16,6 +16,15 @@ from ..models.nodes import NodeConfig
 class TrainConfig:
     # model (ModelParams, arguments/__init__.py:50-98)
     sh_degree: int = 3
+    # deformation field family (reference deform_type, scene/
+    # deform_model.py:10-26): node (ControlNodeWarp, the D-2DGS default)
+    # | mlp (DeformNetwork at each Gaussian) | hash (multi-res hash grid)
+    # | static (no deformation).  Non-"node" types train single-stage
+    # (the node pre-training stage is ControlNodeWarp-specific).
+    deform_type: str = "node"
+    # ProgressiveBandFrequency time annealing of the deform MLP
+    # (time_utils.py:259-286), driven by the traced iteration
+    progressive_band_time: bool = False
     hyper_dim: int = 8
     node_num: int = 1024
     K: int = 3
@@ -100,7 +109,20 @@ class TrainConfig:
             d_rot_as_res=self.d_rot_as_res,
             with_arap_loss=not self.no_arap_loss,
             mlp=MLPConfig(is_blender=self.is_blender,
-                          local_frame=self.local_frame))
+                          local_frame=self.local_frame,
+                          progressive_band_time=self.progressive_band_time))
+
+    @property
+    def deform_cfg(self):
+        """DeformConfig for the facade dispatch (models/deform.py)."""
+        from ..models.deform import DeformConfig
+        from ..models.hash_deform import HashConfig
+        nc = self.node_cfg
+        # the standalone-MLP field skips local_frame (reference
+        # DeformNetwork path, scene/deform_model.py:13-16)
+        mlp = dataclasses.replace(nc.mlp, local_frame=False)
+        return DeformConfig(deform_type=self.deform_type, node=nc,
+                            mlp=mlp, hash=HashConfig())
 
     @property
     def deform_lr_init(self) -> float:

@@ -23,6 +23,7 @@ import numpy as np
 from ..data.cameras import Camera
 from ..models import densify as D
 from ..models import regularizers as R
+from ..models.deform import deform_gaussians, init_deform
 from ..models.gaussians import GaussianParams, create_from_pcd
 from ..models.nodes import (NodeConfig, NodeParams, cal_node_importance,
                             densify_nodes, expand_time, init_node_params,
@@ -105,6 +106,11 @@ def init_train_state(key, cfg: TrainConfig, init_points: np.ndarray,
     nodes = init_node_params(k1, cfg.node_cfg)
     nodes = init_nodes_from_pcl(nodes, cfg.node_cfg,
                                 jnp.asarray(init_points, jnp.float32), k2)
+    if cfg.deform_type != "node":
+        # non-node deform fields live in the NodeParams.mlp slot
+        # (models/deform.py deform_gaussians); init per-type params
+        nodes = dataclasses.replace(
+            nodes, mlp=init_deform(k1, cfg.deform_cfg))
     # stage-1 isotropic Gaussians on the node positions
     # (init_gaussians, time_utils.py:1258-1266: sh_degree 0, colors zero)
     node_xyz = np.asarray(nodes.nodes[:, :3])
@@ -146,7 +152,8 @@ def node_stage_step(state: TrainState, cam: Camera, gt: jnp.ndarray,
         t = jnp.broadcast_to(cam.time.reshape(1, 1), (m, 1))
         from ..models.deform_mlp import mlp_forward
         d = mlp_forward(mlp, cfg.node_cfg.mlp,
-                        jax.lax.stop_gradient(ngauss.xyz), t)
+                        jax.lax.stop_gradient(ngauss.xyz), t,
+                        step=sched.get("step", 10**9))
         d_xyz = d["d_xyz"] * ngauss.motion_mask
         # before node_warm_up the warp is detached (train_gui.py:482-483)
         w = sched["warm"]
@@ -198,7 +205,7 @@ def node_stage_step(state: TrainState, cam: Camera, gt: jnp.ndarray,
         nodes=with_node_trainable(state.nodes, node_train, mlp_p),
         node_opt=node_opt, mlp_opt=mlp_opt, ngauss_stats=stats, key=key)
     metrics = dict(loss=ll1, psnr=psnr(out.image, gt),
-                   num_pairs=out.num_pairs)
+                   num_pairs=out.num_pairs, overflow=out.overflow)
     return new_state, metrics
 
 
@@ -238,8 +245,10 @@ def photometric_loss(gauss: GaussianParams, nodes: NodeParams, cam: Camera,
     normal-consistency and distortion terms.  Shared by the single-camera
     step below and the batched data-parallel step (parallel/).
     Returns (loss, (RenderOutput, l1))."""
-    d = warp(nodes, cfg.node_cfg, gauss.xyz, cam.time,
-             feature=gauss.feature, motion_mask=gauss.motion_mask)
+    d = deform_gaussians(nodes, cfg.deform_cfg, gauss.xyz, cam.time,
+                         feature=gauss.feature,
+                         motion_mask=gauss.motion_mask,
+                         step=sched.get("step", 10**9))
     w = sched["warm"]
 
     def gate(x):
@@ -273,10 +282,13 @@ def optical_flow_loss(gauss: GaussianParams, nodes: NodeParams,
     masked by solid-alpha, RAFT validity, time proximity, and
     photometric confidence."""
     from ..render.renderer import render_flow
-    d1 = warp(nodes, cfg.node_cfg, gauss.xyz, cam.time,
-              feature=gauss.feature, motion_mask=gauss.motion_mask)
-    d2 = warp(nodes, cfg.node_cfg, gauss.xyz, cam2.time,
-              feature=gauss.feature, motion_mask=gauss.motion_mask)
+    step = sched.get("step", 10**9)
+    d1 = deform_gaussians(nodes, cfg.deform_cfg, gauss.xyz, cam.time,
+                          feature=gauss.feature,
+                          motion_mask=gauss.motion_mask, step=step)
+    d2 = deform_gaussians(nodes, cfg.deform_cfg, gauss.xyz, cam2.time,
+                          feature=gauss.feature,
+                          motion_mask=gauss.motion_mask, step=step)
     f = render_flow(gauss, cam, cam2, d_xyz1=d1["d_xyz"],
                     d_xyz2=d2["d_xyz"], d_rotation1=d1["d_rotation"],
                     d_scaling1=d1["d_scaling"], cfg=cfg.raster)
@@ -308,13 +320,17 @@ def main_stage_step(state: TrainState, cam: Camera, gt: jnp.ndarray,
         nodes = with_node_trainable(state.nodes, node_train, mlp)
         loss, (out, ll1) = photometric_loss(gauss, nodes, cam, gt, probe,
                                             cfg, sched, bg)
-        # deform ARAP reg (time_utils.py:1228-1232), gated by warm-up
-        loss = loss + (1.0 - sched["warm"]) * sched["lambda_arap"] * \
-            R.arap_loss(nodes, cfg.node_cfg, k_arap)
+        # deform ARAP reg (time_utils.py:1228-1232), gated by warm-up;
+        # node-graph-specific — other deform types have no node graph
+        if cfg.deform_type == "node":
+            loss = loss + (1.0 - sched["warm"]) * sched["lambda_arap"] * \
+                R.arap_loss(nodes, cfg.node_cfg, k_arap)
         if motion_loss:
             # motion-mask loss (train_gui.py:363-370), landmark-scheduled
-            d = warp(nodes, cfg.node_cfg, gauss.xyz, cam.time,
-                     feature=gauss.feature, motion_mask=gauss.motion_mask)
+            d = deform_gaussians(nodes, cfg.deform_cfg, gauss.xyz,
+                                 cam.time, feature=gauss.feature,
+                                 motion_mask=gauss.motion_mask,
+                                 step=sched.get("step", 10**9))
             loss = loss + sched["lambda_motion"] * motion_mask_loss(
                 gauss, cam, gt_alpha, bg, cfg, d=d)
         if flow_loss:
@@ -349,7 +365,7 @@ def main_stage_step(state: TrainState, cam: Camera, gt: jnp.ndarray,
         nodes=with_node_trainable(state.nodes, node_train, mlp_p),
         node_opt=node_opt, mlp_opt=mlp_opt, gauss_stats=stats, key=key)
     metrics = dict(loss=ll1, psnr=psnr(out.image, gt),
-                   num_pairs=out.num_pairs,
+                   num_pairs=out.num_pairs, overflow=out.overflow,
                    alive=state.gauss.num_alive)
     return new_state, metrics
 
@@ -512,7 +528,11 @@ class Trainer:
                                       init_points, init_colors)
         self.xyz_sched, self.deform_sched = make_schedules(cfg)
         self.iteration = 1
-        self.iteration_node = 1
+        # the node pre-training stage is ControlNodeWarp-specific; other
+        # deform types train single-stage (train_gui.py:207-213 gates the
+        # node stage on the deform network type)
+        self.iteration_node = (1 if cfg.deform_type == "node"
+                               else cfg.iterations_node_rendering)
         self.rng = np.random.RandomState(seed)
         self._stack = []
         self.log_fn = log_fn or (lambda *a, **k: None)
@@ -527,6 +547,45 @@ class Trainer:
         # optional SIBR remote viewer (network_gui poll at the top of each
         # train step, train_gui.py:216-229); attach via attach_viewer()
         self.viewer = None
+        # optional multichip main stage (enable_sharded_training)
+        self._sharded_step = None
+        self._sharded_ndata = 0
+        self._sharded_motion = False
+
+    def enable_sharded_training(self, mesh_shape: tuple[int, int],
+                                exchange_cap: int | None = None):
+        """Run the MAIN stage on a 2-D (data x gauss) device mesh with
+        the distributed tile-binning exchange
+        (parallel/gauss_train.py).  Each step consumes mesh_shape[0]
+        cameras (their gradients averaged into one Adam update, densify
+        stats per-view).  The node pre-training stage stays replicated
+        (node-count scale).  exchange_cap=None auto-sizes from measured
+        per-destination record counts (no magic caps)."""
+        from ..parallel import (make_mesh2d, make_sharded_train_step,
+                                shard_gauss_state, suggest_exchange_cap)
+        from ..utils.quaternion import quat_normalize
+        n_data, n_gauss = mesh_shape
+        mesh = make_mesh2d(n_data, n_gauss)
+        self.state = shard_gauss_state(mesh, self.state)
+        if exchange_cap is None:
+            g = self.state.gauss
+            sample = [self.cameras[i] for i in
+                      range(0, len(self.cameras),
+                            max(len(self.cameras) // 4, 1))][:4]
+            exchange_cap = suggest_exchange_cap(
+                mesh, sample, g.xyz, g.get_scaling,
+                quat_normalize(g.rotation, eps=1e-12), g.alive,
+                self.cfg.raster, margin=2.0)
+            self.log_fn({"exchange_cap": exchange_cap})
+        self._sharded_motion = (self.alphas is not None
+                                and self.cfg.gt_alpha_mask_as_dynamic_mask
+                                and not self.cfg.no_motion_mask_loss)
+        self._sharded_step = make_sharded_train_step(
+            mesh, self.cfg, exchange_cap=exchange_cap,
+            motion_loss=self._sharded_motion)
+        self._sharded_ndata = n_data
+        self._sharded_mesh = mesh
+        return mesh
 
     def attach_viewer(self, host: str = "127.0.0.1", port: int = 6009):
         from ..viewer import ViewerServer
@@ -538,11 +597,11 @@ class Trainer:
             return
 
         def render_fn(cam, scaling_modifier):
-            from ..models.nodes import warp
             from ..render.renderer import render
             g = self.state.gauss
-            d = warp(self.state.nodes, self.cfg.node_cfg, g.xyz, cam.time,
-                     feature=g.feature, motion_mask=g.motion_mask)
+            d = deform_gaussians(self.state.nodes, self.cfg.deform_cfg,
+                                 g.xyz, cam.time, feature=g.feature,
+                                 motion_mask=g.motion_mask)
             out = render(cam, g, jnp.zeros((3,), jnp.float32),
                          d_xyz=d["d_xyz"], d_rotation=d["d_rotation"],
                          d_scaling=d["d_scaling"],
@@ -641,6 +700,7 @@ class Trainer:
             deform_lr=self.deform_sched(it),
             xyz_lr=self.xyz_sched(it),
             time_interval=jnp.float32(self.time_interval),
+            step=jnp.float32(it),
         )
         # at the sampling/downsample boundary no optimizer step is taken
         # (train_gui.py:584-591); we simply skip the train step there.
@@ -668,12 +728,51 @@ class Trainer:
         self.iteration_node += 1
         return metrics
 
+    def _sharded_iteration(self, sched):
+        """One main-stage step on the (data x gauss) mesh: n_data
+        cameras, full loss set, densify stats — parallel/gauss_train.py."""
+        from ..parallel import stack_cameras
+        picks = [self._pick_camera() for _ in range(self._sharded_ndata)]
+        cams_b = stack_cameras([p[0] for p in picks])
+        gts = jnp.stack([p[1] for p in picks])
+        if self._sharded_motion:
+            sched = dict(sched,
+                         lambda_motion=jnp.float32(
+                             self._motion_lambda(self.iteration)))
+            alphas = jnp.stack([
+                p[2] if p[2] is not None
+                else jnp.zeros(p[1].shape[:2] + (1,), jnp.float32)
+                for p in picks])
+            return self._sharded_step(self.state, cams_b, gts, sched,
+                                      alphas)
+        return self._sharded_step(self.state, cams_b, gts, sched)
+
     # --- stage 2 ---
     def main_iteration(self):
         cfg = self.cfg
         it = self.iteration
         if it % cfg.oneup_sh_degree_step == 0:
             self.state = oneup_sh(self.state, cfg)
+        if self._sharded_step is not None:
+            lam_arap = R.landmark_interpolate(
+                *cfg.node_cfg.lambda_arap_schedule, step=max(0, it))
+            sched = dict(
+                warm=jnp.float32(1.0 if it < cfg.warm_up else 0.0),
+                lambda_normal=jnp.float32(
+                    cfg.lambda_normal if it > cfg.normal_dist_from_iter
+                    else 0.0),
+                lambda_dist=jnp.float32(
+                    cfg.lambda_dist if it > cfg.normal_dist_from_iter
+                    else 0.0),
+                lambda_arap=jnp.float32(lam_arap),
+                deform_lr=self.deform_sched(it),
+                xyz_lr=self.xyz_sched(it),
+                step=jnp.float32(it),
+            )
+            self.state, metrics = self._sharded_iteration(sched)
+            self._post_main_maintenance(it)
+            self.iteration += 1
+            return metrics
         cam, gt, alpha = self._pick_camera()
         lam_arap = R.landmark_interpolate(
             *cfg.node_cfg.lambda_arap_schedule, step=max(0, it))
@@ -688,6 +787,7 @@ class Trainer:
             lambda_arap=jnp.float32(lam_arap),
             deform_lr=self.deform_sched(it),
             xyz_lr=self.xyz_sched(it),
+            step=jnp.float32(it),
         )
         if motion:
             sched["lambda_motion"] = jnp.float32(lam_motion)
@@ -705,8 +805,18 @@ class Trainer:
             gt_alpha=alpha if motion else None, motion_loss=motion,
             flow_sample=flow_sample, flow_loss=flow_sample is not None)
 
+        self._post_main_maintenance(it)
+        self.iteration += 1
+        return metrics
+
+    def _post_main_maintenance(self, it: int):
+        """Densify / opacity-reset schedule after a main-stage step
+        (train_gui.py:410-423); shared by the single-chip and sharded
+        paths."""
+        cfg = self.cfg
         if it < cfg.densify_until_iter:
-            if (it == cfg.node_force_densify_prune_step
+            if cfg.deform_type == "node" and (
+                    it == cfg.node_force_densify_prune_step
                     or (cfg.node_enable_densify_prune
                         and it > cfg.node_densify_from_iter
                         and it % cfg.node_densification_interval == 0
@@ -721,10 +831,9 @@ class Trainer:
                     self.state, cfg, "main", self.extent, 0.01,
                     prune_big, cfg.densify_grad_threshold)
             if (it % cfg.opacity_reset_interval == 0
-                    or (cfg.white_background and it == cfg.densify_from_iter)):
+                    or (cfg.white_background
+                        and it == cfg.densify_from_iter)):
                 self.state = reset_opacity_step(self.state, "main")
-        self.iteration += 1
-        return metrics
 
     def step(self):
         self._poll_viewer()
@@ -744,9 +853,15 @@ class Trainer:
         self._last_step_t = now
         return m
 
+    def total_iterations(self) -> int:
+        """Steps the full schedule takes (node stage only for "node")."""
+        node = (self.cfg.iterations_node_rendering
+                if self.cfg.deform_type == "node" else 0)
+        return self.cfg.iterations + node
+
     def train(self, num_iters: int | None = None, log_every: int = 100):
-        total = num_iters if num_iters is not None else (
-            self.cfg.iterations + self.cfg.iterations_node_rendering)
+        total = (num_iters if num_iters is not None
+                 else self.total_iterations())
         for _ in range(total):
             m = self.step()
             tick = self.iteration_node + self.iteration

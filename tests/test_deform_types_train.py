@@ -1,0 +1,118 @@
+"""End-to-end trainability of every deform_type (VERDICT r2 item 4):
+the reference trains node/mlp/hash/static via DeformModel
+(scene/deform_model.py:10-44); each type must run the real Trainer on a
+tiny scene with decreasing loss, and progressive_band_time must actually
+anneal inside the jitted step (deform.update(iteration) at
+train_gui.py:434, utils/time_utils.py:259-286)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from d2dgs_tpu.config import RasterConfig
+from d2dgs_tpu.models.deform_mlp import MLPConfig
+from d2dgs_tpu.data.synthetic import make_video_dataset
+from d2dgs_tpu.models.nodes import NodeConfig, init_node_params, warp
+from d2dgs_tpu.train.config import TrainConfig
+from d2dgs_tpu.train.trainer import Trainer
+
+
+def _cfg(dt, **kw):
+    base = dict(
+        deform_type=dt, gaussian_capacity=256, node_gauss_capacity=64,
+        node_num=16, iterations=6, warm_up=2, node_warm_up=2,
+        iterations_node_sampling=3, iterations_node_rendering=4,
+        densify_from_iter=100, densify_until_iter=0,
+        raster=RasterConfig(tile_cap=128, chunk=64, pair_cap=2048,
+                            use_pallas=False))
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_video_dataset(jax.random.PRNGKey(0), n_cams=2, n_times=2,
+                              H=32, W=32, n_gauss=8)
+
+
+@pytest.mark.parametrize("dt", ["node", "mlp", "hash", "static"])
+def test_deform_type_trains(scene, dt):
+    cams, imgs, pts, cols = scene
+    tr = Trainer(_cfg(dt), cams, imgs, pts[:32], cols[:32],
+                 cameras_extent=4.0, seed=0)
+    # non-node types skip the ControlNodeWarp pre-training stage
+    # (train_gui.py:207-213); node runs both stages
+    assert tr.total_iterations() == (6 + 4 if dt == "node" else 6)
+    losses = []
+    for _ in range(tr.total_iterations()):
+        m = tr.step()
+        if m:
+            losses.append(float(m["loss"]))
+    assert len(losses) >= 6
+    assert np.isfinite(losses).all()
+    if dt != "static":    # static can't fit a moving scene
+        assert losses[-1] < losses[0]
+    # the deform params actually received updates (not a dead flag)
+    if dt in ("mlp", "hash"):
+        flat = jax.tree.leaves(tr.state.nodes.mlp)
+        assert any(float(jnp.abs(x).max()) > 0 for x in flat)
+
+
+def test_progressive_band_time_anneals_in_step(scene):
+    """The traced `step` must reach mlp_forward through warp/node_deform:
+    with progressive_band_time=True the same params at the same t give
+    DIFFERENT deformations at step 0 (bands masked) vs step 1e9 (fully
+    on), inside one jitted function of step."""
+    cfg = NodeConfig(node_num=8, hyper_dim=0,
+                     mlp=MLPConfig(depth=2, width=32,
+                                   progressive_band_time=True,
+                                   freq_masking_steps=100))
+    key = jax.random.PRNGKey(1)
+    params = init_node_params(key, cfg)
+    # non-trivial MLP outputs: perturb head weights away from ~0 init
+    mlp = jax.tree.map(
+        lambda x: x + 0.05 * jax.random.normal(key, x.shape), params.mlp)
+    params = dataclasses.replace(params, mlp=mlp)
+    x = jax.random.normal(jax.random.PRNGKey(2), (32, 3))
+    mm = jnp.ones((32, 1))
+
+    @jax.jit
+    def dx(step):
+        return warp(params, cfg, x, jnp.float32(0.7), feature=None,
+                    motion_mask=mm, step=step)["d_xyz"]
+
+    d0 = np.asarray(dx(jnp.float32(0.0)))
+    d_half = np.asarray(dx(jnp.float32(50.0)))
+    d_full = np.asarray(dx(jnp.float32(10.0 ** 9)))
+    assert np.abs(d_full - d0).max() > 1e-6        # annealing has effect
+    assert np.abs(d_full - d_half).max() > 1e-7    # and moves with step
+    # default step (no annealing argument) equals fully-annealed
+    @jax.jit
+    def dx_default():
+        return warp(params, cfg, x, jnp.float32(0.7), feature=None,
+                    motion_mask=mm)["d_xyz"]
+    np.testing.assert_allclose(np.asarray(dx_default()), d_full,
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_trainer_passes_step(scene):
+    """A progressive_band_time trainer must produce different main-stage
+    deformations early vs late purely from the iteration counter."""
+    cams, imgs, pts, cols = scene
+    cfg = _cfg("mlp", progressive_band_time=True, warm_up=0)
+    tr = Trainer(cfg, cams, imgs, pts[:32], cols[:32],
+                 cameras_extent=4.0, seed=0)
+    from d2dgs_tpu.models.deform import deform_gaussians
+    g = tr.state.gauss
+    d_early = deform_gaussians(tr.state.nodes, cfg.deform_cfg, g.xyz,
+                               jnp.float32(0.5), feature=g.feature,
+                               motion_mask=g.motion_mask, step=0)
+    d_late = deform_gaussians(tr.state.nodes, cfg.deform_cfg, g.xyz,
+                              jnp.float32(0.5), feature=g.feature,
+                              motion_mask=g.motion_mask, step=10**9)
+    # near-zero head init makes both tiny but the time-band masking must
+    # still flow through (exactly zero diff would mean a dead `step`)
+    assert float(jnp.abs(jnp.asarray(d_early["d_xyz"])
+                         - jnp.asarray(d_late["d_xyz"])).max()) > 0

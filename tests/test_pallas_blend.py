@@ -107,6 +107,64 @@ def test_early_termination_and_overflow(scene, wq):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_workqueue_overflow_grad_consistency():
+    """pair_cap overflow must TRUNCATE cleanly, not corrupt gradients.
+
+    Regression for the uninitialized-VMEM backward bug: when total work
+    exceeds pair_cap, the truncated tile's final in-cap work item must
+    carry last=1 so the reverse walk seeds its gradient scratch.  The
+    truncated run must match an untruncated run on the same scene with
+    per-tile counts pre-clamped to the in-cap prefix."""
+    from d2dgs_tpu.ops.binning import bin_gaussians
+    from d2dgs_tpu.ops.pallas.blend_tpu import (NFEAT, blend_tiles_wq,
+                                                build_work_queue)
+    from d2dgs_tpu.ops.projection import preprocess, tile_grid
+
+    means, scales, quats, opac, colors, cam = _scene()
+    gx, gy = tile_grid(H, W)
+    num_tiles = gx * gy
+    prep = preprocess(means, scales, quats, cam, 1.0)
+    cfg_small = _cfg(use_pallas=True, pallas_interpret=True,
+                     use_workqueue=True, pair_cap=384)    # w_cap = 6
+    cfg_big = _cfg(use_pallas=True, pallas_interpret=True,
+                   use_workqueue=True, pair_cap=4096)
+    binning = bin_gaussians(prep, gx, gy, cfg_small)
+
+    ch = cfg_small.chunk
+    w_cap = cfg_small.pair_cap // ch
+    counts = np.minimum(np.asarray(binning.tile_count), cfg_small.tile_cap)
+    nch = (counts + ch - 1) // ch
+    start = np.concatenate([[0], np.cumsum(nch)])
+    assert start[-1] > w_cap, "scene must overflow the small pair_cap"
+    in_cap = np.clip(np.minimum(start[1:], w_cap) - start[:-1], 0, None)
+    counts_clamped = np.where(in_cap < nch, in_cap * ch, counts)
+    bin_clamped = binning._replace(
+        tile_count=jnp.asarray(counts_clamped, jnp.int32))
+
+    feats0 = jnp.concatenate(
+        [prep.T.reshape(N, 9), prep.center, prep.normal, colors,
+         jnp.where(prep.valid, opac, 0.0)[:, None]], axis=-1)
+    assert feats0.shape[-1] == NFEAT
+    wch = jnp.linspace(0.1, 1.0, 14)
+
+    def loss(feats, binn, cfg):
+        g, wt, fi, la, ov = build_work_queue(feats, binn, num_tiles, cfg)
+        out = blend_tiles_wq(g, wt, wt, fi, la, num_tiles, gx,
+                             cfg.pair_cap // cfg.chunk)
+        return jnp.sum(out[:, :14] * wch[None, :, None]), ov
+
+    (lt, ovt), gt = jax.value_and_grad(loss, has_aux=True)(
+        feats0, binning, cfg_small)
+    (lc, ovc), gc = jax.value_and_grad(loss, has_aux=True)(
+        feats0, bin_clamped, cfg_big)
+    assert int(ovt) > 0 and int(ovc) == 0
+    np.testing.assert_allclose(float(lt), float(lc), rtol=1e-6)
+    scale = np.abs(np.asarray(gc)).max() + 1e-8
+    np.testing.assert_allclose(np.asarray(gt) / scale,
+                               np.asarray(gc) / scale, rtol=1e-5, atol=1e-6)
+    assert np.isfinite(np.asarray(gt)).all()
+
+
 def test_workqueue_empty_scene():
     """All Gaussians culled: every tile must render exactly background."""
     means, scales, quats, opac, colors, cam = _scene()

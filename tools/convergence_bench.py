@@ -101,7 +101,7 @@ def main():
         "trajectory": traj,
     }
     path = os.path.join(os.path.dirname(__file__), "..",
-                        "CONVERGENCE_r02.json")
+                        "CONVERGENCE_r03.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out["final_test"]))

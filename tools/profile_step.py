@@ -115,13 +115,13 @@ def main():
     timeit("build_work_queue (gather) fwd", wq_fn, feats, binning)
 
     wq_blend = jax.jit(lambda g, t, fi, la: blend_tiles_wq(
-        g, t, fi, la, num_tiles, gx, w_cap))
+        g, t, t, fi, la, num_tiles, gx, w_cap))
     wq_blend(gwq, wt, first, last)
     timeit("wq blend fwd", wq_blend, gwq, wt, first, last)
 
     def wq_loss(f, b):
         g, t, fi, la, _ = build_work_queue(f, b, num_tiles, rc)
-        out = blend_tiles_wq(g, t, fi, la, num_tiles, gx, w_cap)
+        out = blend_tiles_wq(g, t, t, fi, la, num_tiles, gx, w_cap)
         return jnp.sum(out[:, 4:7] ** 2)
     wqg = jax.jit(jax.grad(wq_loss))
     wqg(feats, binning)
