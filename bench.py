@@ -45,11 +45,27 @@ def main():
     pts = np.asarray(jax.random.normal(key, (N, 3)) * 0.4)
     cols = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (N, 3)))
     state = init_train_state(key, cfg, pts, cols)
-    # realistic splat sizes after training: ~1e-2 world units
     import dataclasses
     gauss = state.gauss
-    gauss = dataclasses.replace(
-        gauss, scaling=jnp.full_like(gauss.scaling, np.log(8e-3)))
+    # Scale/opacity statistics: sampled (jointly, with replacement) from
+    # the converged convergence-bench state when its export exists
+    # (CONVERGENCE_r03_dist.npz, tools/convergence_bench.py; VERDICT r2
+    # item 6) — else hand-set trained-scale splats ~1e-2 world units.
+    dist_path = os.path.join(os.path.dirname(__file__),
+                             "CONVERGENCE_r03_dist.npz")
+    scale_src = "hand-set log(8e-3)"
+    if os.path.exists(dist_path):
+        with np.load(dist_path) as z:
+            rows = np.random.RandomState(0).randint(
+                0, z["scaling"].shape[0], size=N)
+            gauss = dataclasses.replace(
+                gauss,
+                scaling=jnp.asarray(z["scaling"][rows]),
+                opacity=jnp.asarray(z["opacity"][rows]))
+        scale_src = "converged-run empirical (CONVERGENCE_r03_dist.npz)"
+    else:
+        gauss = dataclasses.replace(
+            gauss, scaling=jnp.full_like(gauss.scaling, np.log(8e-3)))
     cam = orbit_camera(0.3, 0.25, 4.0, fov=0.69, H=H, W=W, time=0.5)
     gt = jnp.zeros((H, W, 3), jnp.float32)
     bg = jnp.zeros((3,), jnp.float32)
@@ -68,20 +84,30 @@ def main():
         return ((1.0 - cfg.lambda_dssim) * l1(out.image, gt)
                 + cfg.lambda_dssim * (1.0 - ssim(out.image, gt)))
 
-    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5)))
+    # dependency-chained timing: each step's xyz input consumes the
+    # previous step's gradient (x + 0*g), so the final scalar fetch can
+    # only complete after EVERY step has executed on-device — immune to
+    # async-dispatch / lazy-sync artifacts of remote-relay backends
+    # (block_until_ready alone under-syncs through the axon tunnel).
+    def step_fn(g_xyz, g_scaling, g_rot, g_opac, g_fdc, mlp):
+        v, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5))(
+            g_xyz, g_scaling, g_rot, g_opac, g_fdc, mlp)
+        return v, g_xyz + grads[0] * 0.0
+    step = jax.jit(step_fn)
     args = (gauss.xyz, gauss.scaling, gauss.rotation, gauss.opacity,
             gauss.features_dc, nodes.mlp)
 
     t0 = time.time()
-    grads = step(*args)
-    jax.block_until_ready(grads)
+    v, xyz = step(*args)
+    float(v)
     compile_s = time.time() - t0
 
-    iters = 10
+    iters = 20
+    xyz = gauss.xyz
     t0 = time.time()
     for _ in range(iters):
-        grads = step(*args)
-    jax.block_until_ready(grads)
+        v, xyz = step(xyz, *args[1:])
+    float(v)
     dt = (time.time() - t0) / iters
 
     rays_per_s = H * W / dt
@@ -93,6 +119,7 @@ def main():
         "detail": {"step_ms": round(dt * 1e3, 2),
                    "compile_s": round(compile_s, 1),
                    "n_gaussians": N,
+                   "scale_opacity_source": scale_src,
                    "device": str(jax.devices()[0]).split(":")[0]},
     }))
 

@@ -27,10 +27,12 @@ def render_test_set(samples, gauss, nodes, node_cfg, raster_cfg,
                     out_dir: str | None = None, bg=None,
                     lpips_weights: str | None = None,
                     save_images: bool = True,
-                    deform_cfg=None) -> dict:
+                    deform_cfg=None, return_images: int = 0) -> dict:
     """samples: list of data.dnerf.CameraSample (or (camera, gt) pairs).
     deform_cfg: optional models.deform.DeformConfig — defaults to the
-    node warp over `node_cfg`.  Returns {"per_view": [...], "mean": {...}}.
+    node warp over `node_cfg`.  Returns {"per_view": [...], "mean": {...}};
+    with return_images=k the first k views' (render, gt) uint8 arrays are
+    returned under "images" for training-time reporting (train.py:54-142).
     """
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
@@ -54,6 +56,7 @@ def render_test_set(samples, gauss, nodes, node_cfg, raster_cfg,
         os.makedirs(os.path.join(out_dir, "gt"), exist_ok=True)
 
     per_view = []
+    images = []
     for i, s in enumerate(samples):
         if hasattr(s, "camera"):
             cam, gt = s.camera, jnp.asarray(s.gt(np.asarray(bg)))
@@ -63,6 +66,10 @@ def render_test_set(samples, gauss, nodes, node_cfg, raster_cfg,
         m = evaluate_image_metrics(img, gt, lpips_weights)
         m["view"] = i
         per_view.append(m)
+        if i < return_images:
+            to8 = lambda a: np.clip(np.asarray(a) * 255.0, 0,
+                                    255).astype(np.uint8)
+            images.append((to8(img), to8(gt)))
         if out_dir and save_images:
             _save_png(os.path.join(out_dir, "renders", f"{i:05d}.png"), img)
             _save_png(os.path.join(out_dir, "gt", f"{i:05d}.png"), gt)
@@ -73,6 +80,8 @@ def render_test_set(samples, gauss, nodes, node_cfg, raster_cfg,
     keys = [k for k in per_view[0] if k != "view"]
     mean = {k: float(np.mean([v[k] for v in per_view])) for k in keys}
     result = {"per_view": per_view, "mean": mean}
+    if return_images:
+        result["images"] = images
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "results.json"), "w") as f:

@@ -75,33 +75,27 @@ def _incl_cumprod0(x):
     return acc
 
 
-def _ex_cumsum0(x):
-    """Exclusive cumulative sum along axis 0."""
+def _incl_cumsum0(x):
+    """Inclusive cumulative sum along axis 0 (log-step doubling)."""
     acc = x
     k = 1
     while k < x.shape[0]:
         acc = acc + _shift_down(acc, k, 0.0)
         k *= 2
-    return _shift_down(acc, 1, 0.0)
+    return acc
 
 
-def _chunk_step(st, feats, px, py):
-    """Blend one depth-sorted chunk of Gaussians into the tile state.
+def _ex_cumsum0(x):
+    """Exclusive cumulative sum along axis 0."""
+    return _shift_down(_incl_cumsum0(x), 1, 0.0)
 
-    st:    [NSTATE, PIX] state rows (see ROW_*).
-    feats: [CHUNK, NFEAT] per-Gaussian features.
-    px/py: [1, PIX] pixel centers.
 
-    Pure function of its inputs; identical math to ops/blend.py
-    (pixel_responses + blend_chunk), differentiable w.r.t. st and feats.
-    """
+def _resp(feats, px, py):
+    """Elementwise ray-splat response: feats [G,NFEAT] -> (alpha, depth),
+    both [G,PIX].  Identical math to ops/blend.py pixel_responses
+    (forward.cu:336-402).  alpha is pre-masked by the p.z==0 / near-plane
+    / 1-255-cutoff rules."""
     f = lambda i: feats[:, i:i + 1]                     # [G,1]
-    T_in = st[ROW_T:ROW_T + 1]                          # [1,P]
-    done = st[ROW_DONE:ROW_DONE + 1]
-    d1_in = st[ROW_D1:ROW_D1 + 1]
-    d2_in = st[ROW_D2:ROW_D2 + 1]
-
-    # --- ray-splat intersection (forward.cu:336-402, ops/blend.py) ---
     kx = px * f(6) - f(0)
     ky = px * f(7) - f(1)
     kz = px * f(8) - f(2)
@@ -124,7 +118,26 @@ def _chunk_step(st, feats, px, py):
     alpha = jnp.minimum(ALPHA_CLIP, f(17) * jnp.exp(-0.5 *
                                                     jnp.minimum(rho3d, rho2d)))
     keep = good & (depth >= NEAR_PLANE) & (alpha >= ALPHA_CUTOFF)
-    alpha = jnp.where(keep, alpha, 0.0)                 # [G,P]
+    return jnp.where(keep, alpha, 0.0), depth           # [G,P] each
+
+
+def _chunk_step(st, feats, px, py):
+    """Blend one depth-sorted chunk of Gaussians into the tile state.
+
+    st:    [NSTATE, PIX] state rows (see ROW_*).
+    feats: [CHUNK, NFEAT] per-Gaussian features.
+    px/py: [1, PIX] pixel centers.
+
+    Pure function of its inputs; identical math to ops/blend.py
+    (pixel_responses + blend_chunk), differentiable w.r.t. st and feats.
+    """
+    f = lambda i: feats[:, i:i + 1]                     # [G,1]
+    T_in = st[ROW_T:ROW_T + 1]                          # [1,P]
+    done = st[ROW_DONE:ROW_DONE + 1]
+    d1_in = st[ROW_D1:ROW_D1 + 1]
+    d2_in = st[ROW_D2:ROW_D2 + 1]
+
+    alpha, depth = _resp(feats, px, py)                 # [G,P]
 
     # --- front-to-back compositing as a prefix product ---
     om = 1.0 - alpha
@@ -180,6 +193,113 @@ def _chunk_step(st, feats, px, py):
          color[0], color[1], color[2], depth_acc,
          normal[0], normal[1], normal[2], distortion,
          med_d, med_w, st[14:NSTATE]], axis=0)
+
+
+def _chunk_bwd(saved, feats, px, py, gst):
+    """Hand-derived VJP of ``_chunk_step`` w.r.t. (carry state, feats).
+
+    saved: [NCARRY, PIX] pre-chunk carry rows (T, done, dist1, dist2);
+    gst:   [NSTATE, PIX] cotangent of the chunk's OUTPUT state.
+    Returns (gst_prev [NSTATE, PIX], gfeats [G, NFEAT]).
+
+    Replaces the in-kernel ``jax.vjp(_chunk_step)`` (which re-runs the
+    whole forward then transposes every scan) with the suffix-sum
+    formulation of the CUDA back-to-front walk (backward.cu:142-449):
+    compositing cotangents reduce to three suffix sums over the chunk
+    (for the distortion dist1/dist2 coupling and the cumprod
+    transmittance), and only the small elementwise ray-splat response is
+    re-differentiated via jax.vjp.  Parity with jax.vjp(_chunk_step) is
+    pinned by tests/test_pallas_blend.py::test_chunk_bwd_matches_autodiff.
+    """
+    G = feats.shape[0]
+    T_in = saved[ROW_T:ROW_T + 1]
+    done = saved[ROW_DONE:ROW_DONE + 1]
+    d1_in = saved[ROW_D1:ROW_D1 + 1]
+    d2_in = saved[ROW_D2:ROW_D2 + 1]
+
+    (alpha, depth), resp_vjp = jax.vjp(lambda fe: _resp(fe, px, py), feats)
+
+    # --- recompute the compositing forward (residuals) ---
+    om = 1.0 - alpha
+    ecp = _shift_down(_incl_cumprod0(om), 1, 1.0)       # exclusive cumprod
+    Tb = T_in * ecp
+    Ta = Tb * om
+    rows = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 0)
+    trig = (alpha > 0.0) & (Ta < T_CUTOFF)
+    first = jnp.min(jnp.where(trig, rows, G), axis=0, keepdims=True)
+    live = done < 0.5
+    include = (rows < first) & live
+    w = jnp.where(include, alpha * Tb, 0.0)
+
+    safe_d = jnp.where(depth != 0.0, depth, 1.0)
+    C = FAR_PLANE - NEAR_PLANE
+    m = (FAR_PLANE * depth - FAR_PLANE * NEAR_PLANE) / (C * safe_d)
+    wm = w * m
+    wmm = wm * m
+    tot = lambda x: jnp.sum(x, axis=0, keepdims=True)
+    cs_wm = _incl_cumsum0(wm)
+    cs_wmm = _incl_cumsum0(wmm)
+    d1b = d1_in + (cs_wm - wm)                          # exclusive prefixes
+    d2b = d2_in + (cs_wmm - wmm)
+    err = m * m * (1.0 - Tb) + d2b - 2.0 * m * d1b
+
+    cond = include & (alpha > 0.0) & (Tb > 0.5)
+    has = jnp.max(cond.astype(jnp.float32), axis=0, keepdims=True)
+    last = jnp.max(jnp.where(cond, rows, -1), axis=0, keepdims=True)
+    oh = (rows == last).astype(jnp.float32)
+
+    # --- output cotangent rows ---
+    gT = gst[ROW_T:ROW_T + 1]
+    gd1o = gst[ROW_D1:ROW_D1 + 1]
+    gd2o = gst[ROW_D2:ROW_D2 + 1]
+    gcol = gst[ROW_COLOR]                               # [3,P]
+    gda = gst[ROW_DEPTH:ROW_DEPTH + 1]
+    gnorm = gst[ROW_NORMAL]                             # [3,P]
+    gD = gst[ROW_DISTORTION:ROW_DISTORTION + 1]
+    gmd = gst[ROW_MED_D:ROW_MED_D + 1]
+    gmw = gst[ROW_MED_W:ROW_MED_W + 1]
+
+    # --- w / m / depth cotangents ---
+    # suffix sums over h>g: the wm_g / wmm_g terms inside later Gaussians'
+    # dist1_b/dist2_b (backward.cu keeps the same running sums reversed)
+    S1 = gd1o - 2.0 * gD * (tot(wm) - cs_wm)            # d(L)/d(wm_g)
+    S2 = gd2o + gD * (tot(w) - _incl_cumsum0(w))        # d(L)/d(wmm_g)
+    ncvals = feats[:, 11:17]                            # [G,6] normal+color
+    gnc = jnp.concatenate([gnorm, gcol], axis=0)        # [6,P]
+    wbar = (jax.lax.dot(ncvals, gnc,
+                        preferred_element_type=jnp.float32)
+            + gda * depth + gD * err + m * S1 + m * m * S2 + gmw * oh)
+    mbar = (w * S1 + 2.0 * wm * S2
+            + gD * w * (2.0 * m * (1.0 - Tb) - 2.0 * d1b))
+    dm_dd = jnp.where(depth != 0.0,
+                      FAR_PLANE * NEAR_PLANE / (C * safe_d * safe_d),
+                      FAR_PLANE / C)
+    dbar = gda * w + mbar * dm_dd + gmd * oh
+
+    # --- transmittance / alpha cotangents ---
+    is_tl = ((rows == first - 1) & live).astype(jnp.float32)
+    Tbbar = (jnp.where(include, wbar * alpha, 0.0)
+             - gD * w * (m * m) + gT * is_tl * om)
+    abar = jnp.where(include, wbar * Tb, 0.0) - gT * is_tl * Tb
+    TbT = Tbbar * Tb
+    abar = abar - (tot(TbT) - _incl_cumsum0(TbT)) / om  # om >= 1-ALPHA_CLIP
+
+    # --- feature gradients ---
+    (gfeats,) = resp_vjp((abar, dbar))
+    gnc_feat = jax.lax.dot(w, gnc.T,
+                           preferred_element_type=jnp.float32)  # [G,6]
+    gfeats = gfeats + jnp.pad(gnc_feat, ((0, 0), (11, NFEAT - 17)))
+
+    # --- carry-state cotangents ---
+    condT = ((first > 0) & live).astype(jnp.float32)
+    gT_in = tot(Tbbar * ecp) + gT * (1.0 - condT)
+    gd1_in = gd1o - 2.0 * gD * tot(wm)
+    gd2_in = gd2o + gD * tot(w)
+    gst_prev = jnp.concatenate(
+        [gT_in, jnp.zeros_like(gT_in), gd1_in, gd2_in,
+         gcol, gda, gnorm, gD,
+         gmd * (1.0 - has), gmw * (1.0 - has), gst[14:]], axis=0)
+    return gst_prev, gfeats
 
 
 def _tile_pix(t, gx):
@@ -244,14 +364,8 @@ def _bwd_kernel(counts_ref, gdata_ref, carries_ref, gout_ref, dg_ref,
     @pl.when(active)
     def _():
         px, py = _tile_pix(t, gx)
-        # linear-accumulator rows don't influence gradients; zeros suffice
-        st_c = jnp.concatenate(
-            [saved, jnp.zeros((NSTATE - NCARRY, PIX), jnp.float32)], axis=0)
-        fun = lambda s, fe: _chunk_step(s, fe, px, py)
-        _, vjp = jax.vjp(fun, st_c, gdata_ref[0])
-        g_st, g_feats = vjp(gst_ref[:])
-        rows = jax.lax.broadcasted_iota(jnp.int32, (NSTATE, PIX), 0)
-        gst_ref[:] = jnp.where(rows == ROW_DONE, 0.0, g_st)
+        g_st, g_feats = _chunk_bwd(saved, gdata_ref[0], px, py, gst_ref[:])
+        gst_ref[:] = g_st
         dg_ref[0] = g_feats
 
     @pl.when(jnp.logical_not(active))
@@ -401,8 +515,23 @@ def build_work_queue(feats: jnp.ndarray, binning, num_tiles: int,
     return g, work_tile, first, last, overflow
 
 
-def _fwd_wq_kernel(tile_ref, gtile_ref, first_ref, last_ref, gdata_ref,
-                   out_ref, carry_ref, *, gx, num_tiles):
+def _wq_slots(work_tile, num_tiles: int, w_cap: int):
+    """Block-slot maps that make PAD work items free: pads re-read the
+    last real gdata block (consecutive equal indices -> Mosaic revisits
+    the resident block, no DMA) and write carries/grads to a single trash
+    slot (index w_cap).  work_tile == num_tiles marks pads (the builders'
+    convention)."""
+    pad = work_tile == num_tiles
+    total = jnp.sum((~pad).astype(jnp.int32))
+    w = jnp.arange(work_tile.shape[0], dtype=jnp.int32)
+    rslot = jnp.where(pad, jnp.maximum(total - 1, 0), w)
+    wslot = jnp.where(pad, w_cap, w)
+    return rslot.astype(jnp.int32), wslot.astype(jnp.int32)
+
+
+def _fwd_wq_kernel(tile_ref, gtile_ref, first_ref, last_ref, rslot_ref,
+                   wslot_ref, gdata_ref, out_ref, carry_ref, *, gx,
+                   num_tiles):
     # tile_ref: OUTPUT-slot tile index (local slab index when sharded);
     # gtile_ref: tile index in the GLOBAL pixel grid (pixel coords).
     # Single-chip passes the same array twice.
@@ -427,9 +556,9 @@ def _fwd_wq_kernel(tile_ref, gtile_ref, first_ref, last_ref, gdata_ref,
         out_ref[0] = _chunk_step(out_ref[0], gdata_ref[0], px, py)
 
 
-def _bwd_wq_kernel(tile_ref, gtile_ref, first_ref, last_ref, gdata_ref,
-                   carries_ref, gout_ref, dg_ref, gst_ref, *, gx,
-                   num_tiles, w_cap):
+def _bwd_wq_kernel(tile_ref, gtile_ref, first_ref, last_ref, rslot_ref,
+                   wslot_ref, gdata_ref, carries_ref, gout_ref, dg_ref,
+                   gst_ref, *, gx, num_tiles, w_cap):
     i = pl.program_id(0)
     w = w_cap - 1 - i
 
@@ -449,13 +578,8 @@ def _bwd_wq_kernel(tile_ref, gtile_ref, first_ref, last_ref, gdata_ref,
     @pl.when(active)
     def _():
         px, py = _tile_pix(gtile_ref[w], gx)
-        st_c = jnp.concatenate(
-            [saved, jnp.zeros((NSTATE - NCARRY, PIX), jnp.float32)], axis=0)
-        fun = lambda s, fe: _chunk_step(s, fe, px, py)
-        _, vjp = jax.vjp(fun, st_c, gdata_ref[0])
-        g_st, g_feats = vjp(gst_ref[:])
-        rows = jax.lax.broadcasted_iota(jnp.int32, (NSTATE, PIX), 0)
-        gst_ref[:] = jnp.where(rows == ROW_DONE, 0.0, g_st)
+        g_st, g_feats = _chunk_bwd(saved, gdata_ref[0], px, py, gst_ref[:])
+        gst_ref[:] = g_st
         dg_ref[0] = g_feats
 
     @pl.when(jnp.logical_not(active))
@@ -468,17 +592,20 @@ def _fwd_wq_call(num_tiles: int, gx: int, w_cap: int, chunk: int,
                  interpret: bool):
     kern = functools.partial(_fwd_wq_kernel, gx=gx, num_tiles=num_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,   # work_tile, gtile, first, last in SMEM
+        # work_tile, gtile, first, last, rslot, wslot in SMEM
+        num_scalar_prefetch=6,
         grid=(w_cap,),
         in_specs=[
-            pl.BlockSpec((1, chunk, NFEAT), lambda w, *_: (w, 0, 0),
+            pl.BlockSpec((1, chunk, NFEAT),
+                         lambda w, t, g, f, l, rs, ws: (rs[w], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, NSTATE, PIX),
                          lambda w, tile_ref, *_: (tile_ref[w], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NCARRY, PIX), lambda w, *_: (w, 0, 0),
+            pl.BlockSpec((1, NCARRY, PIX),
+                         lambda w, t, g, f, l, rs, ws: (ws[w], 0, 0),
                          memory_space=pltpu.VMEM),
         ),
     )
@@ -487,7 +614,7 @@ def _fwd_wq_call(num_tiles: int, gx: int, w_cap: int, chunk: int,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles + 1, NSTATE, PIX), jnp.float32),
-            jax.ShapeDtypeStruct((w_cap, NCARRY, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((w_cap + 1, NCARRY, PIX), jnp.float32),
         ),
         interpret=interpret,
     )
@@ -500,26 +627,30 @@ def _bwd_wq_call(num_tiles: int, gx: int, w_cap: int, chunk: int,
                              w_cap=w_cap)
     rev = lambda i: w_cap - 1 - i
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(w_cap,),
         in_specs=[
-            pl.BlockSpec((1, chunk, NFEAT), lambda i, *_: (rev(i), 0, 0),
+            pl.BlockSpec((1, chunk, NFEAT),
+                         lambda i, t, g, f, l, rs, ws: (rs[rev(i)], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NCARRY, PIX), lambda i, *_: (rev(i), 0, 0),
+            pl.BlockSpec((1, NCARRY, PIX),
+                         lambda i, t, g, f, l, rs, ws: (ws[rev(i)], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NSTATE, PIX),
                          lambda i, tile_ref, *_: (tile_ref[rev(i)], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, chunk, NFEAT),
-                               lambda i, *_: (rev(i), 0, 0),
+                               lambda i, t, g, f, l, rs, ws:
+                               (ws[rev(i)], 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((NSTATE, PIX), jnp.float32)],
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((w_cap, chunk, NFEAT), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((w_cap + 1, chunk, NFEAT),
+                                       jnp.float32),
         interpret=interpret,
     )
 
@@ -532,9 +663,10 @@ def blend_tiles_wq(gdata, work_tile, gtile, first, last, num_tiles: int,
     state).  work_tile indexes the OUTPUT slab (local tile id when the
     grid is sharded across devices); gtile gives each work item's tile
     in the GLOBAL pixel grid — pass work_tile for both on one chip."""
+    rslot, wslot = _wq_slots(work_tile, num_tiles, w_cap)
     out, _ = _fwd_wq_call(num_tiles, gx, w_cap, gdata.shape[1],
                           not _is_tpu())(work_tile, gtile, first, last,
-                                         gdata)
+                                         rslot, wslot, gdata)
     return _fix_empty_tiles(out[:num_tiles], work_tile, first, num_tiles)
 
 
@@ -550,21 +682,26 @@ def _fix_empty_tiles(out, work_tile, first, num_tiles):
 
 def _blend_wq_fwd(gdata, work_tile, gtile, first, last, num_tiles, gx,
                   w_cap):
+    rslot, wslot = _wq_slots(work_tile, num_tiles, w_cap)
     out, carries = _fwd_wq_call(num_tiles, gx, w_cap, gdata.shape[1],
                                 not _is_tpu())(
-        work_tile, gtile, first, last, gdata)
+        work_tile, gtile, first, last, rslot, wslot, gdata)
     fixed = _fix_empty_tiles(out[:num_tiles], work_tile, first, num_tiles)
-    return fixed, (gdata, work_tile, gtile, first, last, carries)
+    return fixed, (gdata, work_tile, gtile, first, last, rslot, wslot,
+                   carries)
 
 
 def _blend_wq_bwd(num_tiles, gx, w_cap, res, g_out):
-    gdata, work_tile, gtile, first, last, carries = res
+    gdata, work_tile, gtile, first, last, rslot, wslot, carries = res
     g_pad = jnp.concatenate(
         [g_out, jnp.zeros((1,) + g_out.shape[1:], g_out.dtype)], axis=0)
     dg = _bwd_wq_call(num_tiles, gx, w_cap, gdata.shape[1],
                       not _is_tpu())(
-        work_tile, gtile, first, last, gdata, carries, g_pad)
-    return (dg, None, None, None, None)
+        work_tile, gtile, first, last, rslot, wslot, gdata, carries, g_pad)
+    # row w_cap is the pads' trash slot; rows >= total_work within the cap
+    # are never written but are masked to zero by the gdata gather's
+    # where-VJP downstream
+    return (dg[:w_cap], None, None, None, None)
 
 
 blend_tiles_wq.defvjp(_blend_wq_fwd, _blend_wq_bwd)

@@ -25,8 +25,11 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 # XLA compiles are very slow on small CI hosts; cache them across runs.
+# Separate dir from the TPU runs' .jax_cache: concurrent writers to one
+# cache dir have segfaulted inside put_executable_and_time.
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+                  os.path.join(os.path.dirname(__file__), "..",
+                               ".jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 assert jax.devices()[0].platform == "cpu", jax.devices()

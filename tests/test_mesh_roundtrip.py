@@ -1,0 +1,95 @@
+"""Mesh pipeline round trip (VERDICT r2 item 9): exact Gaussian scene ->
+masked-depth TSDF mesh -> vertex-color re-render -> image metrics +
+chamfer floors.  Mirrors the reference journey render_mesh.py:86-240 ->
+metrics_mesh.py at library level (the CLI wiring is covered by
+tests/test_cli.py)."""
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from d2dgs_tpu.config import RasterConfig
+from d2dgs_tpu.data.cameras import orbit_camera
+from d2dgs_tpu.data.synthetic import animated_scene
+from d2dgs_tpu.eval.mesh_metrics import chamfer_distance, mesh_image_metrics
+from d2dgs_tpu.mesh.extract import reconstruct_mesh
+from d2dgs_tpu.mesh.render import render_mesh
+from d2dgs_tpu.models.deform import DeformConfig
+from d2dgs_tpu.models.gaussians import GaussianParams
+from d2dgs_tpu.models.nodes import NodeConfig, init_node_params
+from d2dgs_tpu.render.renderer import render
+
+H = W = 64
+CFG = RasterConfig(tile_cap=256, chunk=64)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    (means, scales, quats, opac, colors), _ = animated_scene(
+        jax.random.PRNGKey(5), n=24)
+    # opaque-ish surfels make a watertight-enough TSDF shell
+    opac = jnp.clip(opac * 1.2, 0.7, 0.97)
+    n = means.shape[0]
+    from d2dgs_tpu.utils.sh import rgb_to_sh
+    g = GaussianParams(
+        xyz=means,
+        features_dc=rgb_to_sh(colors)[:, None, :],
+        features_rest=jnp.zeros((n, 3, 3)),
+        scaling=jnp.log(scales),
+        rotation=quats,
+        opacity=jnp.log(opac / (1 - opac))[:, None],
+        feature=jnp.zeros((n, 1)),
+        alive=jnp.ones((n,), bool),
+        active_sh_degree=0, max_sh_degree=1, with_motion_mask=True)
+    cams = [orbit_camera(2 * np.pi * i / 10, 0.35 * np.sin(i), 3.2,
+                         fov=0.9, H=H, W=W, time=0.0) for i in range(10)]
+    return g, cams
+
+
+def test_mesh_roundtrip_floors(scene, tmp_path):
+    g, cams = scene
+    node_cfg = NodeConfig(node_num=8, hyper_dim=0)
+    nodes = init_node_params(jax.random.PRNGKey(0), node_cfg)
+    static = DeformConfig(deform_type="static", node=node_cfg)
+    bg = jnp.zeros(3)
+
+    # gt renders + alpha masks from the gaussian scene itself
+    gts, masks = [], []
+    for c in cams:
+        out = render(c, g, bg, cfg=CFG)
+        gts.append(np.asarray(out.image))
+        masks.append(np.asarray(out.alpha))
+
+    verts, faces, colors = reconstruct_mesh(
+        cams, g, nodes, node_cfg, CFG, mesh_time=0.0, bg=bg,
+        alpha_masks=[jnp.asarray(m) for m in masks],
+        voxel=0.04, depth_trunc=8.0, return_colors=True,
+        deform_cfg=static)
+    assert verts.shape[0] > 200 and faces.shape[0] > 200
+
+    # geometry floor: mesh surface must hug the splat cloud (chamfer in
+    # scene units; splats have radii ~0.1)
+    cd = chamfer_distance(np.asarray(verts), np.asarray(g.xyz))
+    assert np.isfinite(cd) and cd < 0.35, cd
+
+    # re-render the mesh from the first 4 cameras and compare to gt
+    rd = tmp_path / "mesh_image"
+    gd = tmp_path / "gt"
+    os.makedirs(rd), os.makedirs(gd)
+    from PIL import Image
+    for i, c in enumerate(cams[:4]):
+        img, _, _ = render_mesh(c, verts, faces, colors, bg=bg)
+        Image.fromarray((np.clip(np.asarray(img), 0, 1) * 255).astype(
+            np.uint8)).save(rd / f"{i:05d}.png")
+        Image.fromarray((np.clip(gts[i], 0, 1) * 255).astype(
+            np.uint8)).save(gd / f"{i:05d}.png")
+    mean = mesh_image_metrics(str(rd), str(gd), str(tmp_path), "mesh_rt")
+    # a TSDF-meshed alpha-blended scene re-rendered with flat vertex
+    # colors: not pixel-perfect, but far above an empty render (~13 dB on
+    # this scene) and structurally similar
+    assert mean["psnr"] > 17.0, mean
+    assert mean["ssim"] > 0.55, mean
+    assert os.path.exists(tmp_path / "mesh_rt_results.json")

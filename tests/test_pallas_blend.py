@@ -177,3 +177,49 @@ def test_workqueue_empty_scene():
                                np.broadcast_to(np.asarray(bg), (H, W, 3)),
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(a[..., 1]), 0.0, atol=1e-6)
+
+
+def test_chunk_bwd_matches_autodiff():
+    """Hand-derived _chunk_bwd == jax.vjp(_chunk_step) on edge cases:
+    saturated opacity (early termination), done pixels, tiny carry T."""
+    from d2dgs_tpu.ops.pallas.blend_tpu import (NCARRY, NFEAT, NSTATE, PIX,
+                                                ROW_DONE, _chunk_bwd,
+                                                _chunk_step)
+
+    G = 32
+    cases = [dict(), dict(opac_scale=3.0), dict(done_frac=0.5),
+             dict(t_in_small=True), dict(opac_scale=3.0, done_frac=0.3)]
+    for i, kw in enumerate(cases):
+        ks = jax.random.split(jax.random.PRNGKey(10 + i), 8)
+        feats = jax.random.normal(ks[0], (G, NFEAT)) * 0.5
+        feats = feats.at[:, 17].set(
+            jax.nn.sigmoid(jax.random.normal(ks[1], (G,)) * 2)
+            * kw.get("opac_scale", 1.0))
+        feats = feats.at[:, 8].set(jnp.abs(feats[:, 8]) + 0.5)
+        px = jax.random.uniform(ks[2], (1, PIX)) * 16
+        py = jax.random.uniform(ks[3], (1, PIX)) * 16
+        st = jnp.zeros((NSTATE, PIX))
+        T0 = (jax.random.uniform(ks[4], (PIX,)) * 2e-4
+              if kw.get("t_in_small")
+              else jax.random.uniform(ks[4], (PIX,)) * 0.9 + 0.1)
+        st = st.at[0].set(T0)
+        st = st.at[1].set(
+            (jax.random.uniform(ks[5], (PIX,))
+             < kw.get("done_frac", 0.0)).astype(jnp.float32))
+        st = st.at[2].set(jax.random.normal(ks[6], (PIX,)) * 0.1)
+        st = st.at[3].set(jnp.abs(jax.random.normal(ks[7], (PIX,))) * 0.1)
+        gst = jax.random.normal(jax.random.fold_in(ks[0], 99),
+                                (NSTATE, PIX))
+        gst = gst.at[ROW_DONE].set(0.0).at[14:].set(0.0)
+
+        _, vjp = jax.vjp(lambda s, fe: _chunk_step(s, fe, px, py), st, feats)
+        g_st, g_feats = vjp(gst)
+        g_st = g_st.at[ROW_DONE].set(0.0)
+        g_st2, g_feats2 = _chunk_bwd(st[:NCARRY], feats, px, py, gst)
+        for name, a, b in [("gst", g_st, g_st2),
+                           ("gfeats", g_feats, g_feats2)]:
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-8
+            np.testing.assert_allclose(a / scale, b / scale, rtol=5e-5,
+                                       atol=5e-6,
+                                       err_msg=f"case {i} {kw} {name}")
