@@ -38,8 +38,15 @@ N = 100_000
 
 
 def main():
+    # static capacities tuned to the measured workload (pair stats are
+    # printed and overflow==0 asserted below — no silent truncation):
+    # rect cap 16 tiles/gaussian (trained-scale splats touch ~3-4),
+    # pair_cap ~393k vs ~334k measured binned pairs, tile_cap above the
+    # busiest tile's count
     cfg = TrainConfig(gaussian_capacity=N, node_num=512,
-                      raster=RasterConfig(tile_cap=1024, chunk=128, pair_cap=4608 * 128))
+                      raster=RasterConfig(tile_cap=1280, chunk=128,
+                                          pair_cap=3072 * 128,
+                                          max_tiles_per_gaussian=16))
     key = jax.random.PRNGKey(0)
     # trained-scene-like cluster: unit-ish body, small splats
     pts = np.asarray(jax.random.normal(key, (N, 3)) * 0.4)
@@ -97,6 +104,16 @@ def main():
     args = (gauss.xyz, gauss.scaling, gauss.rotation, gauss.opacity,
             gauss.features_dc, nodes.mlp)
 
+    # capacity probe: the configured static caps must hold the workload
+    d0 = warp(nodes, cfg.node_cfg, gauss.xyz, cam.time,
+              feature=gauss.feature, motion_mask=gauss.motion_mask)
+    probe = render(cam, gauss, bg, d_xyz=d0["d_xyz"],
+                   d_rotation=d0["d_rotation"], d_scaling=d0["d_scaling"],
+                   cfg=cfg.raster)
+    num_pairs = int(probe.num_pairs)
+    overflow = int(probe.overflow)
+    assert overflow == 0, f"work-queue overflow {overflow}: raise pair_cap"
+
     t0 = time.time()
     v, xyz = step(*args)
     float(v)
@@ -119,6 +136,8 @@ def main():
         "detail": {"step_ms": round(dt * 1e3, 2),
                    "compile_s": round(compile_s, 1),
                    "n_gaussians": N,
+                   "num_pairs": num_pairs,
+                   "overflow": overflow,
                    "scale_opacity_source": scale_src,
                    "device": str(jax.devices()[0]).split(":")[0]},
     }))

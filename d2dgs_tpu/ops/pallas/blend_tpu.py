@@ -151,10 +151,18 @@ def _chunk_step(st, feats, px, py):
     w = jnp.where(include, alpha * Tb, 0.0)
 
     csum = lambda x: jnp.sum(x, axis=0, keepdims=True)
-    color = [st[i:i + 1] + csum(w * f(14 + i - ROW_COLOR.start))
-             for i in range(ROW_COLOR.start, ROW_COLOR.stop)]
-    normal = [st[i:i + 1] + csum(w * f(11 + i - ROW_NORMAL.start))
+    # normal+color accumulation as ONE [6,G]@[G,P] MXU contraction
+    # (the per-Gaussian columns are constant along P; depth/distortion
+    # accumulators vary per pixel and stay on the VPU)
+    nc_acc = jax.lax.dot_general(
+        feats[:, 11:17], w, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [6, P]
+    normal = [st[i:i + 1] + nc_acc[i - ROW_NORMAL.start:
+                                   i - ROW_NORMAL.start + 1]
               for i in range(ROW_NORMAL.start, ROW_NORMAL.stop)]
+    color = [st[i:i + 1] + nc_acc[3 + i - ROW_COLOR.start:
+                                  4 + i - ROW_COLOR.start]
+             for i in range(ROW_COLOR.start, ROW_COLOR.stop)]
     depth_acc = st[ROW_DEPTH:ROW_DEPTH + 1] + csum(w * depth)
 
     # --- depth distortion (forward.cu:408-428) ---

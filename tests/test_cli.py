@@ -9,6 +9,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-suite only (see pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def blender_dir(tmp_path_factory):

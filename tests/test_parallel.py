@@ -13,6 +13,19 @@ from d2dgs_tpu.parallel import (batched_main_step, make_dp_main_step,
 from d2dgs_tpu.train.config import TrainConfig
 from d2dgs_tpu.train.trainer import init_train_state, main_stage_step
 
+pytestmark = pytest.mark.slow  # full-suite only (see pytest.ini)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _no_persistent_cache():
+    """The big 8-device sharded executables of this module segfault
+    jaxlib's persistent-cache serialize/deserialize when compiled after a
+    long full-suite run (write crash -> poisoned entry -> read crash on
+    the next run).  Compile them fresh instead of caching."""
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+
 CFG = TrainConfig(
     sh_degree=1, hyper_dim=2, node_num=16, gaussian_capacity=256,
     node_gauss_capacity=128, warm_up=0,

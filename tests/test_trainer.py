@@ -6,6 +6,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-suite only (see pytest.ini)
+
 from d2dgs_tpu.config import RasterConfig
 from d2dgs_tpu.data.synthetic import make_video_dataset
 from d2dgs_tpu.models.deform_mlp import MLPConfig
