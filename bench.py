@@ -41,12 +41,19 @@ def main():
     # static capacities tuned to the measured workload (pair stats are
     # printed and overflow==0 asserted below — no silent truncation):
     # rect cap 16 tiles/gaussian (trained-scale splats touch ~3-4),
-    # pair_cap ~393k vs ~334k measured binned pairs, tile_cap above the
-    # busiest tile's count
+    # tile_cap above the busiest tile's count.  pair_cap depends on the
+    # scale/opacity source: the converged-run distribution fills ~3k
+    # tile-aligned work-queue chunks (cap 3072), the hand-set log(8e-3)
+    # fallback ~4250 (cap 4608, the r2 value) — the pad-free work queue
+    # makes cap slack nearly free.
+    dist_path = os.path.join(os.path.dirname(__file__),
+                             "CONVERGENCE_r03_dist.npz")
+    have_dist = os.path.exists(dist_path)
     cfg = TrainConfig(gaussian_capacity=N, node_num=512,
-                      raster=RasterConfig(tile_cap=1280, chunk=128,
-                                          pair_cap=3072 * 128,
-                                          max_tiles_per_gaussian=16))
+                      raster=RasterConfig(
+                          tile_cap=1280, chunk=128,
+                          pair_cap=(3072 if have_dist else 4608) * 128,
+                          max_tiles_per_gaussian=16))
     key = jax.random.PRNGKey(0)
     # trained-scene-like cluster: unit-ish body, small splats
     pts = np.asarray(jax.random.normal(key, (N, 3)) * 0.4)
@@ -58,10 +65,8 @@ def main():
     # the converged convergence-bench state when its export exists
     # (CONVERGENCE_r03_dist.npz, tools/convergence_bench.py; VERDICT r2
     # item 6) — else hand-set trained-scale splats ~1e-2 world units.
-    dist_path = os.path.join(os.path.dirname(__file__),
-                             "CONVERGENCE_r03_dist.npz")
     scale_src = "hand-set log(8e-3)"
-    if os.path.exists(dist_path):
+    if have_dist:
         with np.load(dist_path) as z:
             rows = np.random.RandomState(0).randint(
                 0, z["scaling"].shape[0], size=N)
