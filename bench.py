@@ -39,16 +39,20 @@ N = 100_000
 
 def main():
     # static capacities tuned to the measured workload (pair stats are
-    # printed and overflow==0 asserted below — no silent truncation):
-    # rect cap 16 tiles/gaussian (trained-scale splats touch ~3-4),
-    # tile_cap above the busiest tile's count.  pair_cap depends on the
-    # scale/opacity source: the converged-run distribution fills ~3k
-    # tile-aligned work-queue chunks (cap 3072), the hand-set log(8e-3)
-    # fallback ~4250 (cap 4608, the r2 value) — the pad-free work queue
-    # makes cap slack nearly free.
-    dist_path = os.path.join(os.path.dirname(__file__),
-                             "CONVERGENCE_r03_dist.npz")
-    have_dist = os.path.exists(dist_path)
+    # printed; work-queue overflow==0 is asserted below and the rect-cap
+    # clamp count is surfaced in the output detail — no silent
+    # truncation): rect cap 16 tiles/gaussian (trained-scale splats touch
+    # ~3-4), tile_cap above the busiest tile's count.  pair_cap depends
+    # on the scale/opacity source: the converged-run distribution fills
+    # ~3k tile-aligned work-queue chunks (cap 3072), the hand-set
+    # log(8e-3) fallback ~4250 (cap 4608, the r2 value) — the pad-free
+    # work queue makes cap slack nearly free.
+    dist_path = next(
+        (p for p in (os.path.join(os.path.dirname(__file__),
+                                  f"CONVERGENCE_r{r:02d}_dist.npz")
+                     for r in (4, 3))
+         if os.path.exists(p)), "")
+    have_dist = bool(dist_path)
     cfg = TrainConfig(gaussian_capacity=N, node_num=512,
                       raster=RasterConfig(
                           tile_cap=1280, chunk=128,
@@ -74,7 +78,8 @@ def main():
                 gauss,
                 scaling=jnp.asarray(z["scaling"][rows]),
                 opacity=jnp.asarray(z["opacity"][rows]))
-        scale_src = "converged-run empirical (CONVERGENCE_r03_dist.npz)"
+        scale_src = ("converged-run empirical ("
+                     + os.path.basename(dist_path) + ")")
     else:
         gauss = dataclasses.replace(
             gauss, scaling=jnp.full_like(gauss.scaling, np.log(8e-3)))
@@ -117,6 +122,7 @@ def main():
                    cfg=cfg.raster)
     num_pairs = int(probe.num_pairs)
     overflow = int(probe.overflow)
+    clamped = int(probe.clamped)
     assert overflow == 0, f"work-queue overflow {overflow}: raise pair_cap"
 
     t0 = time.time()
@@ -143,6 +149,7 @@ def main():
                    "n_gaussians": N,
                    "num_pairs": num_pairs,
                    "overflow": overflow,
+                   "rect_clamped": clamped,
                    "scale_opacity_source": scale_src,
                    "device": str(jax.devices()[0]).split(":")[0]},
     }))

@@ -113,5 +113,5 @@ def load_gaussian_ply(path: str, capacity: int, sh_degree: int,
         scaling=pad(scale), rotation=pad(rot), opacity=pad(opac),
         feature=pad(fea),
         alive=jnp.zeros((capacity,), bool).at[:n].set(True),
-        active_sh_degree=sh_degree, max_sh_degree=sh_degree,
+        active_sh_degree=jnp.int32(sh_degree), max_sh_degree=sh_degree,
         with_motion_mask=with_motion_mask)

@@ -73,7 +73,7 @@ def _scatter_tree(tree, dest, make_row):
 
 def densify_and_prune(params: GaussianParams, mu, nu, stats: DensifyStats,
                       key: jnp.ndarray, max_grad: float, min_opacity: float,
-                      extent: float, prune_big_ws: bool,
+                      extent: float, prune_big_ws,
                       percent_dense: float = 0.01):
     """Returns (params, mu, nu, stats, info dict). mu/nu are pytrees with
     the same per-Gaussian leading dim as the trainable leaves (dicts)."""
@@ -151,16 +151,20 @@ def densify_and_prune(params: GaussianParams, mu, nu, stats: DensifyStats,
     opac = jax.nn.sigmoid(new["opacity"][:, 0])
     scale_max_new = jnp.max(jnp.exp(new["scaling"]), axis=-1)
     prune = opac < min_opacity
-    if prune_big_ws:
-        # big in view space (>20 px, gaussian_model.py:465-467) or world
-        prune = prune | (stats.max_radii2d > 20.0)
-        prune = prune | (scale_max_new > 0.1 * extent)
+    # big in view space (>20 px, gaussian_model.py:465-467) or world —
+    # gated by a TRACED flag (it flips once mid-schedule,
+    # train_gui.py:418; a static flag would recompile the densify step)
+    big = (stats.max_radii2d > 20.0) | (scale_max_new > 0.1 * extent)
+    prune = prune | (big & jnp.asarray(prune_big_ws, bool))
     new_alive = new_alive & ~prune
 
-    new_params = GaussianParams(
-        alive=new_alive, active_sh_degree=params.active_sh_degree,
-        max_sh_degree=params.max_sh_degree,
-        with_motion_mask=params.with_motion_mask, **new)
+    # dataclasses.replace preserves ALL meta fields — constructing
+    # GaussianParams() by hand here once dropped isotropic_shared_scale,
+    # silently turning stage-1 shared-isotropic node-Gaussians into
+    # per-splat-scale ones after the first densify (and changing the
+    # pytree treedef, retracing every downstream jitted step)
+    import dataclasses as _dc
+    new_params = _dc.replace(params, alive=new_alive, **new)
 
     overflow = (jnp.sum(clone_mask & (dest_clone >= c))
                 + jnp.sum(split_mask & ~both_fit))

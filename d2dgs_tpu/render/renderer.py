@@ -42,6 +42,9 @@ class RenderOutput(NamedTuple):
     num_pairs: jnp.ndarray    # scalar: binned pair count (load metric)
     overflow: jnp.ndarray     # scalar i32: work-queue chunks dropped
                               # (pair_cap exceeded) — should be 0
+    clamped: jnp.ndarray      # scalar i32: gaussians whose tile rect was
+                              # cut to max_tiles_per_gaussian (coverage
+                              # loss if nonzero at a converged scene)
 
 
 def depth_to_normal(cam: Camera, depth: jnp.ndarray):
@@ -149,7 +152,8 @@ def render(cam: Camera, params: GaussianParams, bg: jnp.ndarray,
         image=image, alpha=alpha, rend_normal=rend_normal,
         rend_dist=rend_dist, depth=surf_depth, surf_normal=surf_normal,
         radii=prep.radius, visibility=prep.radius > 0, allmap=allmap,
-        num_pairs=binning.num_pairs, overflow=overflow)
+        num_pairs=binning.num_pairs, overflow=overflow,
+        clamped=binning.clamped)
 
 
 def _full_proj_uvz(xyz: jnp.ndarray, cam: Camera,

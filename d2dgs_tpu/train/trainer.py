@@ -374,9 +374,9 @@ def main_stage_step(state: TrainState, cam: Camera, gt: jnp.ndarray,
 # Densify / maintenance wrappers
 # ----------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg", "which", "prune_big_ws"))
+@partial(jax.jit, static_argnames=("cfg", "which"))
 def densify_step(state: TrainState, cfg: TrainConfig, which: str,
-                 extent, min_opacity, prune_big_ws: bool, grad_max):
+                 extent, min_opacity, prune_big_ws, grad_max):
     key, k = jax.random.split(state.key)
     if which == "main":
         p, opt, stats = state.gauss, state.gauss_opt, state.gauss_stats
@@ -586,6 +586,90 @@ class Trainer:
         self._sharded_ndata = n_data
         self._sharded_mesh = mesh
         return mesh
+
+    def precompile(self, log=print):
+        """Compile every jitted step variant the schedule will reach, so
+        no mid-training iteration pays a trace/compile (VERDICT r3 weak
+        #5: multi-second spikes at schedule boundaries).  Each variant is
+        invoked once on the INITIAL state and the result discarded —
+        functional steps make this side-effect free; with the persistent
+        compilation cache the cost is paid once per config, at startup.
+
+        After this, the only per-iteration costs are device execution
+        (the steps take all schedule scalars as traced values: LRs,
+        loss lambdas, warm-up gates, prune flags, SH degree)."""
+        import time as _time
+        cfg = self.cfg
+        cam, gt = self.cameras[0], self.images[0]
+        alpha = None
+        if self.alphas is not None:
+            alpha = next((a for a in self.alphas if a is not None), None)
+        motion_possible = (alpha is not None
+                           and cfg.gt_alpha_mask_as_dynamic_mask
+                           and not cfg.no_motion_mask_loss)
+        t0 = _time.time()
+        n = 0
+
+        def run(fn, *a, **k):
+            nonlocal n
+            jax.block_until_ready(fn(*a, **k))
+            n += 1
+
+        st = self.state
+        if cfg.deform_type == "node":
+            sched1 = dict(warm=jnp.float32(1.0), reg_on=jnp.float32(0.0),
+                          deform_lr=self.deform_sched(1),
+                          xyz_lr=self.xyz_sched(1),
+                          time_interval=jnp.float32(self.time_interval),
+                          step=jnp.float32(1.0))
+            # call shapes must MATCH the loop's exactly (explicit kwargs
+            # included): the jit cache key covers the (args, kwargs)
+            # pytree, so f(a) and f(a, b=None) compile separately
+            run(node_stage_step, st, cam, gt, cfg, sched1,
+                gt_alpha=None, motion_loss=False)
+            if motion_possible and st.ngauss.with_motion_mask:
+                run(node_stage_step, st, cam, gt, cfg, sched1,
+                    gt_alpha=alpha, motion_loss=True)
+            run(densify_step, st, cfg, "node", self.extent, 0.005, False,
+                cfg.densify_grad_threshold)
+            run(reset_opacity_step, st, "node")
+            run(node_downsample_step, st, cfg)
+            run(adopt_node_positions, st)
+            run(node_densify_step, st, cfg, cfg.densify_grad_threshold)
+        sched2 = dict(warm=jnp.float32(1.0),
+                      lambda_normal=jnp.float32(0.0),
+                      lambda_dist=jnp.float32(0.0),
+                      lambda_arap=jnp.float32(0.0),
+                      deform_lr=self.deform_sched(1),
+                      xyz_lr=self.xyz_sched(1), step=jnp.float32(1.0))
+        if self._sharded_step is not None:
+            from ..parallel import stack_cameras
+            cams_b = stack_cameras([cam] * self._sharded_ndata)
+            gts = jnp.stack([gt] * self._sharded_ndata)
+            if self._sharded_motion:
+                al = (alpha if alpha is not None
+                      else jnp.zeros(gt.shape[:2] + (1,), jnp.float32))
+                run(self._sharded_step, st, cams_b, gts,
+                    dict(sched2, lambda_motion=jnp.float32(0.0)),
+                    jnp.stack([al] * self._sharded_ndata))
+            else:
+                run(self._sharded_step, st, cams_b, gts, sched2)
+        else:
+            run(main_stage_step, st, cam, gt, cfg, sched2,
+                gt_alpha=None, motion_loss=False, flow_sample=None,
+                flow_loss=False)
+            if motion_possible:
+                run(main_stage_step, st, cam, gt, cfg,
+                    dict(sched2, lambda_motion=jnp.float32(0.0)),
+                    gt_alpha=alpha, motion_loss=True, flow_sample=None,
+                    flow_loss=False)
+        run(densify_step, st, cfg, "main", self.extent, 0.01, False,
+            cfg.densify_grad_threshold)
+        run(reset_opacity_step, st, "main")
+        run(oneup_sh, st, cfg)
+        if log:
+            log(f"[precompile] {n} step variants in "
+                f"{_time.time() - t0:.1f}s")
 
     def attach_viewer(self, host: str = "127.0.0.1", port: int = 6009):
         from ..viewer import ViewerServer

@@ -97,6 +97,20 @@ def test_cli_train_render_mesh(blender_dir, tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     assert os.path.exists(os.path.join(model, "mesh", "mesh_0000.ply"))
 
+    # interactive-editing workflow (train_gui.py keypoint drag +
+    # lap_deform.py): drag a handle near the scene center along a short
+    # trajectory, re-skin, render frames + GIF
+    edit = [sys.executable, "-m", "d2dgs_tpu.cli", "edit",
+            "--source_path", blender_dir, "--model_path", model,
+            "--ckpt", "ckpt.npz", "--handle", "0,0,0",
+            "--drag", "0.3,0.1,0", "--n_frames", "3", "--rings", "1",
+            "--n_anchors", "4"]
+    r = subprocess.run(edit, capture_output=True, text=True, env=env,
+                       cwd="/root/repo", timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(os.path.join(model, "edit", "frame_0002.png"))
+    assert os.path.exists(os.path.join(model, "edit", "edit.gif"))
+
 
 def test_cfg_args_merge(tmp_path):
     from d2dgs_tpu.cli import merge_cfg_args, save_cfg_args
