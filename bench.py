@@ -58,6 +58,10 @@ def main():
                           tile_cap=1280, chunk=128,
                           pair_cap=(3072 if have_dist else 4608) * 128,
                           max_tiles_per_gaussian=16))
+    # The timed step re-sizes pair_cap to the measured workload (below):
+    # the CUDA reference allocates its binning buffers at exactly
+    # num_rendered (rasterizer_impl.cu:196-342); a loose static cap makes
+    # the pair gather/scatter and both kernels stream pad chunks.
     key = jax.random.PRNGKey(0)
     # trained-scene-like cluster: unit-ish body, small splats
     pts = np.asarray(jax.random.normal(key, (N, 3)) * 0.4)
@@ -124,6 +128,22 @@ def main():
     overflow = int(probe.overflow)
     clamped = int(probe.clamped)
     assert overflow == 0, f"work-queue overflow {overflow}: raise pair_cap"
+    # right-size the static pair cap to the measured chunk-aligned work
+    # (exact total, +16 chunks slack; deterministic workload, and the
+    # timed step's own overflow counter still guards the tight cap)
+    from d2dgs_tpu.models.gaussians import apply_deform
+    from d2dgs_tpu.ops.binning import bin_gaussians
+    from d2dgs_tpu.ops.projection import preprocess, tile_grid
+    gxy = tile_grid(H, W)
+    m3d, sc, qs, _, _ = apply_deform(gauss, d0["d_xyz"],
+                                     d0["d_rotation"], d0["d_scaling"])
+    prep = preprocess(m3d, sc, qs, cam, 1.0)
+    binn = bin_gaussians(prep, gxy[0], gxy[1], cfg.raster)
+    counts = np.minimum(np.asarray(binn.tile_count), cfg.raster.tile_cap)
+    total_work = int(np.sum((counts + 127) // 128))
+    cfg = dataclasses.replace(
+        cfg, raster=dataclasses.replace(
+            cfg.raster, pair_cap=(total_work + 16) * 128))
 
     t0 = time.time()
     v, xyz = step(*args)

@@ -25,8 +25,26 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..config import RasterConfig
+from ..config import TILE, RasterConfig
 from .projection import Preprocessed
+
+
+def circle_tile_overlap(center: jnp.ndarray, radius, tx, ty):
+    """True where a splat's truncation circle touches tile (tx, ty).
+
+    center: [..., 2] pixel coords; radius: [...] float (the preprocess
+    3-sigma circumscribed radius, forward.cu:150-163); tx/ty broadcast
+    against them.  The test is distance(center, tile pixel-center rect)
+    <= radius — exact for pixel-center sampling.  Shared by the binning
+    emission, the distributed-exchange emission (parallel/gauss_shard),
+    and the dense oracle so all paths bin identically."""
+    x0 = tx.astype(jnp.float32) * TILE + 0.5
+    y0 = ty.astype(jnp.float32) * TILE + 0.5
+    cx = center[..., 0]
+    cy = center[..., 1]
+    dx = cx - jnp.clip(cx, x0, x0 + (TILE - 1.0))
+    dy = cy - jnp.clip(cy, y0, y0 + (TILE - 1.0))
+    return dx * dx + dy * dy <= radius * radius
 
 
 class Binning(NamedTuple):
@@ -80,6 +98,10 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
     tx = ox[:, None] + dx
     ty = oy[:, None] + dy
     pair_ok = valid[:, None] & (slot < (rw_c * rh_c)[:, None])
+    if cfg.tile_circle_cull:
+        pair_ok &= circle_tile_overlap(
+            prep.center[order][:, None, :],
+            prep.radius[order].astype(jnp.float32)[:, None], tx, ty)
     tile = jnp.where(pair_ok, ty * grid_x + tx, num_tiles).astype(jnp.int32)
 
     # flattened depth-major emission; sort by tile id, depth order inside

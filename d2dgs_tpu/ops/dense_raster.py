@@ -18,7 +18,8 @@ from .projection import preprocess
 
 
 def rasterize_dense(means3d, scales, quats, opacities, colors, cam: Camera,
-                    bg=None, scale_modifier: float = 1.0):
+                    bg=None, scale_modifier: float = 1.0,
+                    tile_circle_cull: bool = True):
     """Render [H,W,3] color + [H,W,8] allmap.
 
     colors: [N,3] precomputed RGB (SH evaluation happens outside, as in the
@@ -52,6 +53,15 @@ def rasterize_dense(means3d, scales, quats, opacities, colors, cam: Camera,
     alpha, depth_px = B.pixel_responses(T, center, opac, pix)       # [G,P]
     in_tile = ((tx[None, :] >= rmin[:, 0:1]) & (tx[None, :] < rmax[:, 0:1])
                & (ty[None, :] >= rmin[:, 1:2]) & (ty[None, :] < rmax[:, 1:2]))
+    if tile_circle_cull:
+        # match the binned paths' 3-sigma circle-vs-tile test exactly
+        # (ops/binning.py circle_tile_overlap); center is order-sorted
+        # in this scope, so sort the radius the same way
+        from .binning import circle_tile_overlap
+        in_tile &= circle_tile_overlap(
+            center[:, None, :],
+            prep.radius[order].astype(jnp.float32)[:, None],
+            tx[None, :], ty[None, :])
     alpha = jnp.where(in_tile, alpha, 0.0)
 
     state = B.init_state(H * W)

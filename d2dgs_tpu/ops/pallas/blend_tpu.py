@@ -66,7 +66,12 @@ def _shift_down(x, k, fill):
 
 
 def _incl_cumprod0(x):
-    """Inclusive cumulative product along axis 0 (log-step doubling)."""
+    """Inclusive cumulative product along axis 0 (log-step doubling).
+
+    NOTE: an MXU formulation (triangular [G,G]@[G,P] matmul at HIGHEST
+    precision) was measured SLOWER than this VPU ladder — f32 HIGHEST
+    lowers to the 6-pass bf16 decomposition on the MXU, costing more
+    than the 7 shift/add rounds it replaces."""
     acc = x
     k = 1
     while k < x.shape[0]:
@@ -510,7 +515,10 @@ def build_work_queue(feats: jnp.ndarray, binning, num_tiles: int,
     slots = base[:, None] + jnp.arange(ch, dtype=jnp.int32)[None, :]
     ok = (jnp.arange(ch, dtype=jnp.int32)[None, :]
           < (counts[wt] - wc * ch)[:, None]) & ~pad[:, None]
-    slots = jnp.clip(slots, 0, n_pairs - 1)
+    # invalid slots all hit row 0: pad work items otherwise gather
+    # arbitrary real rows (then mask to zero) — at a loose pair_cap
+    # nearly half the gather's row traffic was pads
+    slots = jnp.where(ok, jnp.clip(slots, 0, n_pairs - 1), 0)
     # Gather features via depth ranks: pre-sort the [N] feature rows once
     # (cheap), then index with the compact pair ranks — never gather at
     # [B]-pair granularity from the unsorted side (see Binning layout

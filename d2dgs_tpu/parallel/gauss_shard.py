@@ -83,6 +83,14 @@ def _emit_records(prep, feats, grid_x: int, grid_y: int, n_dev: int,
     tx = ox[:, None] + slot % sw
     ty = oy[:, None] + slot // sw
     ok = valid[:, None] & (slot < (rw_c * rh_c)[:, None])
+    if cfg.tile_circle_cull:
+        # identical 3-sigma circle-vs-tile test as the single-chip
+        # binning (ops/binning.py) — sharded and replicated paths must
+        # bin the same pairs or their losses diverge
+        from ..ops.binning import circle_tile_overlap
+        ok &= circle_tile_overlap(
+            prep.center[order][:, None, :],
+            prep.radius[order].astype(jnp.float32)[:, None], tx, ty)
     tile = jnp.where(ok, ty * grid_x + tx, num_tiles).astype(jnp.int32)
 
     dest = jnp.where(ok, tile % n_dev, n_dev).astype(jnp.int32)

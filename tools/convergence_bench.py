@@ -1,12 +1,28 @@
-"""Convergence benchmark at non-toy scale (VERDICT r1 item 5).
+"""Convergence + mesh-quality benchmark on a demanding articulated scene.
 
-Synthetic multi-view video at 400x400, >=20k-Gaussian capacity, the full
-two-stage recipe scaled ~1:10 from the reference D-NeRF schedule
-(arguments/__init__.py:99-158).  Records the PSNR trajectory and a final
-held-out test-set evaluation to CONVERGENCE_r{round}.json at the repo
-root.  Run on the TPU chip:  python tools/convergence_bench.py [--fast]
+Round-3's convergence artifact reconstructed a 48-splat blob (VERDICT r3
+weak #1).  This round trains the full two-stage recipe on the procedural
+articulated figure (data/articulated.py): textured surfaces, thin cape +
+hoop, non-rigid jumping-jack motion, 640x640, 60k GT surfels — content
+that forces the densifier to sustain tens of thousands of Gaussians.
+
+Artifacts written to the repo root:
+  CONVERGENCE_r04.json      PSNR trajectory, final test metrics, alive
+                            count, per-iter wall times, config
+  CONVERGENCE_r04_dist.npz  converged per-Gaussian scale/opacity/xyz —
+                            bench.py samples this so the perf claim runs
+                            on the same converged workload (VERDICT r3
+                            item 2)
+  MESH_r04.json             per-timestamp TSDF-mesh chamfer distance vs
+                            the scene's EXACT ground-truth surface
+                            samples (BASELINE.md mesh-quality axis;
+                            reference journey render_mesh.py:86-240 +
+                            DG-Mesh chamfer)
+  docs/artifacts/conv_r04_view*.png   render-vs-GT panels
+
+Run on the TPU chip:  python tools/convergence_bench.py [--fast]
+Schedule is the reference's scaled 1:8 (arguments/__init__.py:99-158).
 """
-import dataclasses
 import json
 import os
 import sys
@@ -22,53 +38,79 @@ import jax.numpy as jnp
 import numpy as np
 
 from d2dgs_tpu.config import RasterConfig
-from d2dgs_tpu.data.synthetic import make_video_dataset
+from d2dgs_tpu.data.articulated import make_articulated_dataset
+from d2dgs_tpu.eval.mesh_metrics import chamfer_distance, \
+    sample_mesh_surface
 from d2dgs_tpu.eval.render_sets import render_test_set
+from d2dgs_tpu.mesh.extract import reconstruct_mesh
 from d2dgs_tpu.train.config import TrainConfig
 from d2dgs_tpu.train.trainer import Trainer
 
 FAST = "--fast" in sys.argv
+ROOT = os.path.join(os.path.dirname(__file__), "..")
 
-H = W = 400
-N_INIT = 20_000
+H = W = 640 if not FAST else 256
+N_SURFELS = 60_000 if not FAST else 12_000
+N_CAMS, N_TIMES = (12, 8) if not FAST else (6, 3)
 
-# reference schedule scaled ~1:10 (main 80k->8k, node 10k->1k, densify
-# window 500..50k -> 50..5k, opacity reset 3k->300, warm-up 3k->300)
+# reference schedule scaled ~1:8 (main 80k->10k, node 10k->1.25k,
+# sampling 7.5k->950, warm-up 3k->375, node warm-up 2k->250, densify
+# 500..50k -> 62..6.25k, opacity reset 3k->375, SH oneup 1k->125,
+# normal/dist losses 8k->1k, node force-densify ~10k->1.25k)
 CFG = TrainConfig(
-    sh_degree=3, hyper_dim=8, node_num=256, K=3,
-    gaussian_capacity=40_000, node_gauss_capacity=4_096,
-    iterations=8_000 if not FAST else 800,
-    warm_up=300, node_warm_up=200,
-    iterations_node_sampling=750, iterations_node_rendering=1_000,
-    densification_interval=100, densify_from_iter=50,
-    densify_until_iter=5_000, opacity_reset_interval=300,
-    normal_dist_from_iter=800, oneup_sh_degree_step=100,
-    node_force_densify_prune_step=1_000,
-    raster=RasterConfig(tile_cap=1024, chunk=128, pair_cap=1 << 19),
+    sh_degree=3, hyper_dim=8, node_num=512, K=3,
+    gaussian_capacity=120_000 if not FAST else 20_000,
+    node_gauss_capacity=8_192,
+    iterations=10_000 if not FAST else 600,
+    warm_up=375, node_warm_up=250,
+    iterations_node_sampling=950 if not FAST else 150,
+    iterations_node_rendering=1_250 if not FAST else 200,
+    densification_interval=100, densify_from_iter=62,
+    densify_until_iter=6_250 if not FAST else 400,
+    opacity_reset_interval=375, normal_dist_from_iter=1_000,
+    oneup_sh_degree_step=125,
+    node_force_densify_prune_step=1_250,
+    raster=RasterConfig(tile_cap=2048, chunk=128, pair_cap=1 << 20,
+                        max_tiles_per_gaussian=16),
 )
+
+MESH_TIMES = (0.0, 0.5, 1.0)
+PSNR_FLOOR = 27.0
+ALIVE_FLOOR = 15_000
+CHAMFER_CEIL = 0.05    # world units; scene is ~2.4 units tall
 
 
 def main():
-    cams, imgs, pts, cols = make_video_dataset(
-        jax.random.PRNGKey(7), n_cams=10, n_times=5, H=H, W=W, n_gauss=48)
+    t_gen = time.time()
+    cams, imgs, alphas, scene, times = make_articulated_dataset(
+        0, n_cams=N_CAMS, n_times=N_TIMES, H=H, W=W,
+        n_surfels=N_SURFELS)
+    print(f"[gen] {len(cams)} views of {scene.n_surfels} GT surfels in "
+          f"{time.time() - t_gen:.0f}s", flush=True)
+
     # hold out every 10th view for testing
     test_idx = set(range(0, len(cams), 10))
-    train = [(c, i) for k, (c, i) in enumerate(zip(cams, imgs))
-             if k not in test_idx]
-    test = [(c, jnp.asarray(i)) for k, (c, i) in enumerate(zip(cams, imgs))
-            if k in test_idx]
-    tr_cams = [c for c, _ in train]
-    tr_imgs = [i for _, i in train]
+    tr_cams = [c for k, c in enumerate(cams) if k not in test_idx]
+    tr_imgs = [i for k, i in enumerate(imgs) if k not in test_idx]
+    tr_alphas = [a for k, a in enumerate(alphas) if k not in test_idx]
+    test = [(c, jnp.asarray(i)) for k, (c, i) in
+            enumerate(zip(cams, imgs)) if k in test_idx]
 
+    # init: random cloud in the scene bbox (the reference seeds blender
+    # scenes with 100k random points, dataset_readers.py:380-391)
+    p0, _ = scene.surfel_positions(0.0)
+    lo, hi = p0.min(0) - 0.15, p0.max(0) + 0.15
     rng = np.random.RandomState(0)
-    init_pts = pts[rng.choice(pts.shape[0], min(N_INIT, pts.shape[0]),
-                              replace=False)] if pts.shape[0] > N_INIT \
-        else np.concatenate([pts] * (N_INIT // pts.shape[0] + 1))[:N_INIT] \
-        + rng.randn(N_INIT, 3).astype(np.float32) * 0.05
-    init_cols = np.full((init_pts.shape[0], 3), 0.5, np.float32)
+    n_init = CFG.gaussian_capacity // 3
+    init_pts = (rng.rand(n_init, 3).astype(np.float32) * (hi - lo) + lo)
+    init_cols = np.full((n_init, 3), 0.5, np.float32)
 
     tr = Trainer(CFG, tr_cams, tr_imgs, init_pts, init_cols,
-                 cameras_extent=4.0, seed=0)
+                 cameras_extent=3.0, seed=0)
+    t0 = time.time()
+    tr.precompile()
+    print(f"[precompile] {time.time() - t0:.0f}s", flush=True)
+
     total = CFG.iterations + CFG.iterations_node_rendering
     traj = []
     t_start = time.time()
@@ -78,45 +120,108 @@ def main():
         if m and tick % 100 == 0:
             p = float(m["psnr"])
             traj.append({"iter": tick, "psnr": round(p, 3),
+                         "alive": int(m.get("alive", 0)),
                          "iter_time_ms": round(m.get("iter_time_ms", 0),
                                                2)})
             print(f"[{tick}/{total}] psnr={p:.2f} "
                   f"alive={int(m.get('alive', 0))} "
+                  f"pairs={int(m.get('num_pairs', 0))} "
+                  f"of={int(m.get('overflow', 0))} "
                   f"t={time.time() - t_start:.0f}s", flush=True)
+    wall_train = time.time() - t_start
 
     res = render_test_set(test, tr.state.gauss, tr.state.nodes,
                           CFG.node_cfg, CFG.raster,
-                          bg=jnp.zeros(3), save_images=False)
+                          bg=jnp.zeros(3), save_images=False,
+                          return_images=2)
     final = res["mean"]
+    alive = int(tr.state.gauss.num_alive)
+
+    # render-vs-GT panels (receipts)
+    art_dir = os.path.join(ROOT, "docs", "artifacts")
+    os.makedirs(art_dir, exist_ok=True)
+    try:
+        from PIL import Image
+        for vi, (ri, gi) in enumerate(res.get("images", [])):
+            Image.fromarray(np.concatenate([ri, gi], axis=1)).save(
+                os.path.join(art_dir, f"conv_r04_view{vi}.png"))
+    except Exception as e:  # panels are receipts, not the artifact
+        print(f"[warn] panel export failed: {e}")
+
     out = {
-        "config": {"H": H, "W": W, "n_init": int(init_pts.shape[0]),
+        "config": {"H": H, "W": W, "n_views": len(cams),
+                   "n_gt_surfels": scene.n_surfels,
+                   "scene": "articulated figure (data/articulated.py, "
+                            "seed 0)",
+                   "n_init": int(init_pts.shape[0]),
                    "capacity": CFG.gaussian_capacity,
+                   "node_num": CFG.node_cfg.node_num,
                    "iterations": CFG.iterations,
                    "node_iterations": CFG.iterations_node_rendering,
                    "device": str(jax.devices()[0]),
-                   "wall_s": round(time.time() - t_start, 1)},
+                   "wall_train_s": round(wall_train, 1)},
         "final_test": {k: round(float(v), 4) for k, v in final.items()
                        if isinstance(v, float)},
-        "alive": int(tr.state.gauss.num_alive),
+        "alive": alive,
+        "floors": {"psnr": PSNR_FLOOR, "alive": ALIVE_FLOOR},
         "trajectory": traj,
     }
-    path = os.path.join(os.path.dirname(__file__), "..",
-                        "CONVERGENCE_r03.json")
-    with open(path, "w") as f:
+    conv_path = os.path.join(ROOT, "CONVERGENCE_r04.json")
+    with open(conv_path, "w") as f:
         json.dump(out, f, indent=1)
-    # export the converged per-Gaussian distribution so bench.py can run
-    # on trained-scene statistics instead of hand-set scales (VERDICT r2
-    # item 6): alive rows' log-scaling, opacity logits, xyz
+    print(f"wrote {conv_path}: psnr={final['psnr']:.2f} alive={alive}",
+          flush=True)
+
+    # converged distribution for bench.py (VERDICT r3 item 2)
     g = tr.state.gauss
-    alive = np.asarray(g.alive)
-    np.savez(os.path.join(os.path.dirname(__file__), "..",
-                          "CONVERGENCE_r03_dist.npz"),
-             scaling=np.asarray(g.scaling)[alive],
-             opacity=np.asarray(g.opacity)[alive],
-             xyz=np.asarray(g.xyz)[alive])
-    print(json.dumps(out["final_test"]))
-    print(f"wrote {path}")
-    assert final["psnr"] > 26.0, f"PSNR floor missed: {final['psnr']}"
+    am = np.asarray(g.alive)
+    np.savez(os.path.join(ROOT, "CONVERGENCE_r04_dist.npz"),
+             scaling=np.asarray(g.scaling)[am],
+             opacity=np.asarray(g.opacity)[am],
+             xyz=np.asarray(g.xyz)[am])
+
+    # ---- mesh quality vs exact GT geometry ----
+    p_all = np.concatenate([scene.surfel_positions(t)[0]
+                            for t in (0.0, 0.5, 1.0)], 0)
+    lo_m, hi_m = p_all.min(0) - 0.1, p_all.max(0) + 0.1
+    mesh_out = {"voxel": 0.012, "times": [], "chamfer": [],
+                "n_verts": [], "ceil": CHAMFER_CEIL}
+    for t in MESH_TIMES if not FAST else (0.0,):
+        verts, faces = reconstruct_mesh(
+            tr_cams, tr.state.gauss, tr.state.nodes, CFG.node_cfg,
+            CFG.raster, mesh_time=t, bg=jnp.zeros(3),
+            alpha_masks=tr_alphas,
+            bounds=(tuple(lo_m), tuple(hi_m)), voxel=0.012,
+            keep_clusters=4)
+        gt_pts, _ = scene.surfel_positions(t)
+        if faces.shape[0] == 0:
+            cd = float("inf")
+        else:
+            pred = sample_mesh_surface(np.asarray(verts),
+                                       np.asarray(faces), 30_000)
+            sub = gt_pts[np.random.RandomState(0).choice(
+                gt_pts.shape[0], min(30_000, gt_pts.shape[0]),
+                replace=False)]
+            cd = chamfer_distance(pred, sub)
+        mesh_out["times"].append(float(t))
+        mesh_out["chamfer"].append(round(cd, 5))
+        mesh_out["n_verts"].append(int(verts.shape[0]))
+        print(f"[mesh t={t}] verts={verts.shape[0]} chamfer={cd:.4f}",
+              flush=True)
+    mesh_path = os.path.join(ROOT, "MESH_r04.json")
+    with open(mesh_path, "w") as f:
+        json.dump(mesh_out, f, indent=1)
+    print(f"wrote {mesh_path}")
+
+    # ---- floors (after artifacts are safely on disk) ----
+    assert final["psnr"] > PSNR_FLOOR, \
+        f"PSNR floor missed: {final['psnr']:.2f} < {PSNR_FLOOR}"
+    if not FAST:
+        assert alive >= ALIVE_FLOOR, \
+            f"alive floor missed: {alive} < {ALIVE_FLOOR}"
+        assert max(mesh_out["chamfer"]) <= CHAMFER_CEIL, \
+            f"chamfer ceiling exceeded: {mesh_out['chamfer']}"
+    print("ALL FLOORS PASSED")
 
 
 if __name__ == "__main__":
