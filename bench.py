@@ -53,15 +53,18 @@ def main():
                      for r in (4, 3))
          if os.path.exists(p)), "")
     have_dist = bool(dist_path)
+    # Probe with LOOSE caps (the converged distribution bins ~2.4x the
+    # pairs of the hand-set fallback — a tight probe cap overflowed);
+    # the timed step then re-sizes pair_cap AND tile_cap to the measured
+    # workload: the CUDA reference allocates its binning buffers at
+    # exactly num_rendered (rasterizer_impl.cu:196-342), and loose
+    # static caps make the pair gather/scatter and both kernels stream
+    # pad chunks.
     cfg = TrainConfig(gaussian_capacity=N, node_num=512,
                       raster=RasterConfig(
-                          tile_cap=1280, chunk=128,
-                          pair_cap=(3072 if have_dist else 4608) * 128,
+                          tile_cap=4096, chunk=128,
+                          pair_cap=1 << 20,
                           max_tiles_per_gaussian=16))
-    # The timed step re-sizes pair_cap to the measured workload (below):
-    # the CUDA reference allocates its binning buffers at exactly
-    # num_rendered (rasterizer_impl.cu:196-342); a loose static cap makes
-    # the pair gather/scatter and both kernels stream pad chunks.
     key = jax.random.PRNGKey(0)
     # trained-scene-like cluster: unit-ish body, small splats
     pts = np.asarray(jax.random.normal(key, (N, 3)) * 0.4)
@@ -135,15 +138,19 @@ def main():
     from d2dgs_tpu.ops.binning import bin_gaussians
     from d2dgs_tpu.ops.projection import preprocess, tile_grid
     gxy = tile_grid(H, W)
-    m3d, sc, qs, _, _ = apply_deform(gauss, d0["d_xyz"],
-                                     d0["d_rotation"], d0["d_scaling"])
+    m3d, sc, qs, op_, _ = apply_deform(gauss, d0["d_xyz"],
+                                       d0["d_rotation"], d0["d_scaling"])
     prep = preprocess(m3d, sc, qs, cam, 1.0)
-    binn = bin_gaussians(prep, gxy[0], gxy[1], cfg.raster)
-    counts = np.minimum(np.asarray(binn.tile_count), cfg.raster.tile_cap)
+    binn = bin_gaussians(prep, gxy[0], gxy[1], cfg.raster, opacity=op_)
+    counts = np.asarray(binn.tile_count)
+    max_tile = int(counts.max())
+    assert max_tile <= cfg.raster.tile_cap, \
+        f"busiest tile {max_tile} > probe tile_cap"  # no silent clipping
     total_work = int(np.sum((counts + 127) // 128))
     cfg = dataclasses.replace(
         cfg, raster=dataclasses.replace(
-            cfg.raster, pair_cap=(total_work + 16) * 128))
+            cfg.raster, pair_cap=(total_work + 16) * 128,
+            tile_cap=((max_tile + 127) // 128 + 1) * 128))
 
     t0 = time.time()
     v, xyz = step(*args)
@@ -170,6 +177,8 @@ def main():
                    "num_pairs": num_pairs,
                    "overflow": overflow,
                    "rect_clamped": clamped,
+                   "max_tile_count": max_tile,
+                   "pair_cap": cfg.raster.pair_cap,
                    "scale_opacity_source": scale_src,
                    "device": str(jax.devices()[0]).split(":")[0]},
     }))

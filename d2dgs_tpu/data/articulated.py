@@ -298,12 +298,17 @@ def build_figure(rng: np.random.RandomState, n_surfels: int):
     parts.append(_Part(nc, pc, nnc, cc, ("skin", cape_skin)))
 
     # ---- thin hoop held at the left hand ----
-    nh, ph, nnh, ch = mk("hoop", _sample_torus, 60.0, 0.16, 0.016)
+    nh, ph, nnh, ch = mk("hoop", _sample_torus, 60.0, 0.16, 0.02)
 
     def hoop_tf(t):
-        # follows the left lower-arm tip, spinning about its own axis
+        # follows the left lower-arm tip, turning about its own axis.
+        # The turn rate is deliberately sub-Nyquist for the dataset's
+        # 8 time samples (a full 2*pi spin aliased at 45 deg/frame and
+        # made the hoop unlearnable for ANY method — mesh gt->pred
+        # 0.127 at t=0.5 vs 0.03 elsewhere)
         Rl, Tl = tf_arm_l_lower(t)
-        return _chain(Rl, Tl, _rot("z", 2 * np.pi * t) @ _rot("x", 0.6),
+        return _chain(Rl, Tl,
+                      _rot("z", 0.5 * np.pi * t) @ _rot("x", 0.6),
                       np.array([0.0, 0.0, 0.40]))
 
     parts.append(_Part(nh, ph, nnh, ch, hoop_tf))

@@ -178,15 +178,58 @@ def _march(tsdf: jnp.ndarray, weight: jnp.ndarray, origin, voxel: float):
     return verts, valid
 
 
-def extract_mesh(vol: TsdfVolume):
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("cap",))
+def _march_compact(tsdf, weight, origin, voxel, cap: int):
+    """March one slab and compact valid triangles on-device into a
+    fixed [cap,3,3] buffer (host transfers stay small).  Returns
+    (buf, count) — count may exceed cap (overflow; caller asserts)."""
+    verts, valid = _march(tsdf, weight, origin, voxel)
+    flat_v = verts.reshape(-1, 3, 3)
+    flat_ok = valid.reshape(-1)
+    rank = jnp.cumsum(flat_ok.astype(jnp.int32)) - 1
+    dest = jnp.where(flat_ok & (rank < cap), rank, cap)
+    buf = jnp.zeros((cap + 1, 3, 3), jnp.float32).at[dest].set(
+        flat_v, mode="drop")
+    return buf[:cap], jnp.sum(flat_ok.astype(jnp.int32))
+
+
+def extract_mesh(vol: TsdfVolume, slab: int = 8, tri_cap: int = 400_000):
     """-> (vertices [V,3] float32, faces [F,3] int32) on the host, with
-    vertices deduplicated (welded) so connectivity filters work."""
-    verts, valid = _march(vol.tsdf, vol.weight, vol.origin, vol.voxel)
-    v = np.asarray(verts).reshape(-1, 3, 3)
-    ok = np.asarray(valid).reshape(-1)
-    tri = v[ok]                                            # [F,3,3]
-    if tri.shape[0] == 0:
+    vertices deduplicated (welded) so connectivity filters work.
+
+    The volume is marched in X-slabs of `slab` cube planes: the marching
+    buffers are [cubes, 6, 2, 3, 3] floats, which at production grids
+    (200^3+) would need tens of GB if materialized whole-volume."""
+    X, Y, Z = vol.tsdf.shape
+    n_slabs = max((X - 1 + slab - 1) // slab, 1)
+    # pad X so every slab slice has identical static shape [slab+1,Y,Z];
+    # padded rows carry weight 0 => observed=False => no triangles
+    Xp = n_slabs * slab + 1
+    tsdf = jnp.concatenate(
+        [vol.tsdf, jnp.ones((Xp - X, Y, Z), vol.tsdf.dtype)], axis=0) \
+        if Xp > X else vol.tsdf
+    wt = jnp.concatenate(
+        [vol.weight, jnp.zeros((Xp - X, Y, Z), vol.weight.dtype)],
+        axis=0) if Xp > X else vol.weight
+    tris = []
+    for s in range(n_slabs):
+        x0 = s * slab
+        o = vol.origin + jnp.asarray([x0 * vol.voxel, 0.0, 0.0])
+        buf, cnt = _march_compact(
+            jax.lax.dynamic_slice_in_dim(tsdf, x0, slab + 1, 0),
+            jax.lax.dynamic_slice_in_dim(wt, x0, slab + 1, 0),
+            o, vol.voxel, tri_cap)
+        cnt = int(cnt)
+        assert cnt <= tri_cap, \
+            f"slab {s}: {cnt} triangles > cap {tri_cap}"
+        if cnt:
+            tris.append(np.asarray(buf[:cnt]))
+    if not tris:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    tri = np.concatenate(tris, axis=0)                     # [F,3,3]
     # weld on a voxel/1024 grid (C++ host runtime, numpy fallback inside)
     from ..native import weld_mesh
     return weld_mesh(tri, vol.voxel / 1024.0)

@@ -134,8 +134,8 @@ def render(cam: Camera, params: GaussianParams, bg: jnp.ndarray,
         Tmat = Tmat.at[:, 0, 2].add(screen_probe[:, 0] * sx)
         Tmat = Tmat.at[:, 1, 2].add(screen_probe[:, 1] * sy)
 
-    binning = bin_gaussians(prep, gx, gy, cfg)
     opac = jnp.where(prep.valid, opacity, 0.0)
+    binning = bin_gaussians(prep, gx, gy, cfg, opacity=opac)
     tile_color, tile_allmap, overflow = blend_tiles(
         Tmat, prep.center, prep.normal, colors, opac,
         binning, gx, gy, cfg)

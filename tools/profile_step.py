@@ -49,15 +49,32 @@ def timeit(name, fn, *args, iters=10):
 
 def main():
     cfg = TrainConfig(gaussian_capacity=N, node_num=512,
-                      raster=RasterConfig(tile_cap=1024, chunk=128, pair_cap=4608 * 128))
+                      raster=RasterConfig(tile_cap=2048, chunk=128, pair_cap=6144 * 128))
     rc = cfg.raster
     key = jax.random.PRNGKey(0)
     pts = np.asarray(jax.random.normal(key, (N, 3)) * 0.4)
     cols = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (N, 3)))
     state = init_train_state(key, cfg, pts, cols)
-    gauss = dataclasses.replace(
-        state.gauss, scaling=jnp.full_like(state.gauss.scaling,
-                                           np.log(8e-3)))
+    # profile the converged-run workload when its export exists (same
+    # sampling as bench.py), else the hand-set fallback
+    import os
+    dist = next((os.path.join(os.path.dirname(__file__), "..", f)
+                 for f in ("CONVERGENCE_r04_dist.npz",
+                           "CONVERGENCE_r03_dist.npz")
+                 if os.path.exists(os.path.join(
+                     os.path.dirname(__file__), "..", f))), None)
+    if dist:
+        with np.load(dist) as z:
+            rows = np.random.RandomState(0).randint(
+                0, z["scaling"].shape[0], size=N)
+            gauss = dataclasses.replace(
+                state.gauss, scaling=jnp.asarray(z["scaling"][rows]),
+                opacity=jnp.asarray(z["opacity"][rows]))
+        print(f"workload: {os.path.basename(dist)}")
+    else:
+        gauss = dataclasses.replace(
+            state.gauss, scaling=jnp.full_like(state.gauss.scaling,
+                                               np.log(8e-3)))
     cam = orbit_camera(0.3, 0.25, 4.0, fov=0.69, H=H, W=W, time=0.5)
     gt = jnp.zeros((H, W, 3), jnp.float32)
     bg = jnp.zeros((3,), jnp.float32)
@@ -76,7 +93,7 @@ def main():
     prep = prep_fn(means, scales, quats)
     timeit("preprocess fwd", prep_fn, means, scales, quats)
 
-    bin_fn = jax.jit(lambda p: bin_gaussians(p, gx, gy, rc))
+    bin_fn = jax.jit(lambda p: bin_gaussians(p, gx, gy, rc, opacity=opac))
     binning = bin_fn(prep)
     print(f"  num_pairs={int(binning.num_pairs)} "
           f"max_tile_count={int(jnp.max(binning.tile_count))} "
