@@ -16,8 +16,11 @@ import json
 import os
 import time
 
+from d2dgs_tpu.utils.cache import cache_dir  # pre-jax import: no jax dep
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+                      cache_dir(os.path.join(os.path.dirname(__file__),
+                                             ".jax_cache")))
 
 import jax
 import jax.numpy as jnp

@@ -29,17 +29,21 @@ from ..config import TILE, RasterConfig
 from .projection import Preprocessed
 
 
-def circle_tile_overlap(center: jnp.ndarray, radius, tx, ty):
-    """True where a splat's truncation circle touches tile (tx, ty).
+def circle_tile_overlap(center: jnp.ndarray, radius, tx, ty,
+                        pixel_offset: float = 0.5):
+    """True where a splat's visibility circle touches tile (tx, ty).
 
-    center: [..., 2] pixel coords; radius: [...] float (the preprocess
-    3-sigma circumscribed radius, forward.cu:150-163); tx/ty broadcast
-    against them.  The test is distance(center, tile pixel-center rect)
-    <= radius — exact for pixel-center sampling.  Shared by the binning
-    emission, the distributed-exchange emission (parallel/gauss_shard),
-    and the dense oracle so all paths bin identically."""
-    x0 = tx.astype(jnp.float32) * TILE + 0.5
-    y0 = ty.astype(jnp.float32) * TILE + 0.5
+    center: [..., 2] pixel coords; radius: [...] float (the exact
+    ``opacity_radius`` visibility bound); tx/ty broadcast against them.
+    The test is distance(center, tile sample rect) <= radius, where the
+    rect spans the tile's actual sample positions: ``pixel_offset=0.5``
+    for center-sampled paths (surfel blend, pixels at x+0.5) and 0.0
+    for the corner-sampled 3DGS conic blend (ops/raster3d.py samples at
+    integer coordinates).  Shared by the binning emission, the
+    distributed-exchange emission (parallel/gauss_shard), and the dense
+    oracle so all paths bin identically."""
+    x0 = tx.astype(jnp.float32) * TILE + pixel_offset
+    y0 = ty.astype(jnp.float32) * TILE + pixel_offset
     cx = center[..., 0]
     cy = center[..., 1]
     dx = cx - jnp.clip(cx, x0, x0 + (TILE - 1.0))
@@ -69,28 +73,77 @@ class Binning(NamedTuple):
         return self.order[self.pair_rank]
 
 
-def opacity_radius(radius: jnp.ndarray, opacity: jnp.ndarray):
+def opacity_radius(radius: jnp.ndarray, opacity: jnp.ndarray,
+                   extent: jnp.ndarray | None = None,
+                   sigma: jnp.ndarray | None = None):
     """Exact per-splat visibility radius given its opacity.
 
     The blend drops contributions with alpha = op*exp(-rho/2) < 1/255
-    (forward.cu:397-402), i.e. rho > 2*ln(255*op).  With the preprocess
-    radius r >= 3*sigma_max (so sigma_max <= r/3) and the low-pass
-    branch rho2d = 2*d^2, a pixel at distance d can only be visible if
-    d <= max(sigma_max*sqrt(2L), sqrt(L)), L = ln(255*op).  Binning
-    with min(r, that bound) drops ONLY pairs the blend would zero
-    anyway — output-invariant, and a large win on converged scenes
-    where a quarter of the splats sit at low opacity after resets."""
+    (forward.cu:397-402), i.e. a pixel is visible only when
+    rho <= 2L, L = ln(255*op).  rho = min(rho3d, rho2d):
+
+    * low-pass branch rho2d = 2*d^2  ->  d <= sqrt(L);
+    * splat branch: the farthest point of the 1-sigma level set from
+      the AABB center is sigma_max <= ||extent||_2 (the semi-major axis
+      is bounded by the AABB half-diagonal), and level sets scale as
+      sqrt(rho) under the same affine model the reference's own AABB
+      uses (forward.cu:133-163)  ->  d <= sigma_max * sqrt(2L).
+
+    ``extent``: per-splat [.., 2] 1-sigma AABB half-extents (surfel
+    path).  ``sigma``: direct per-splat sigma_max override, taking
+    precedence — the 3DGS conic path passes radius/3, exact since its
+    radius is ceil(3*sqrt(lambda_max)) (ops/raster3d.py preprocess3d).
+    With neither, sigma_max falls back to radius/3 (conservative only
+    for the conic law).
+
+    The bound is deliberately NOT clamped to the 3-sigma binning
+    radius: for opaque splats the visible region extends BEYOND 3 sigma
+    (alpha there is up to 1.1% > 1/255), so min(r, vis) would cull real
+    contributions — the round-4 raster3d parity regression.  Culling
+    with this bound drops only pairs whose every pixel has
+    alpha < 1/255, i.e. it is output-invariant for both blend laws
+    (within the rect the reference itself bins)."""
     r = radius.astype(jnp.float32)
     op = jax.lax.stop_gradient(opacity).astype(jnp.float32)
     L = jnp.log(jnp.maximum(255.0 * op, 1e-12))
     L = jnp.maximum(L, 0.0)
-    vis = jnp.maximum((r / 3.0) * jnp.sqrt(2.0 * L), jnp.sqrt(L))
-    vis = jnp.where(op >= 1.0 / 255.0, vis, 0.0)
-    return jnp.minimum(r, vis)
+    if sigma is not None:
+        sig = jax.lax.stop_gradient(sigma).astype(jnp.float32)
+    elif extent is not None:
+        ex = jax.lax.stop_gradient(extent).astype(jnp.float32)
+        sig = jnp.sqrt(ex[..., 0] ** 2 + ex[..., 1] ** 2)
+    else:
+        sig = r / 3.0
+    vis = jnp.maximum(sig * jnp.sqrt(2.0 * L), jnp.sqrt(L))
+    return jnp.where(op >= 1.0 / 255.0, vis, 0.0)
+
+
+def max_rect_tiles(prep: Preprocessed) -> jnp.ndarray:
+    """Largest tile-rect area of any valid splat — the exact lower bound
+    on ``max_tiles_per_gaussian`` for clamp-free binning.  The reference
+    never truncates rects (auxiliary.h getRect:64-74 bins the full
+    AABB); sizing the cap from this measurement per workload (bench.py,
+    tools) makes ``Binning.clamped == 0`` hold by construction instead
+    of by hope."""
+    rw = prep.rect_max[:, 0] - prep.rect_min[:, 0]
+    rh = prep.rect_max[:, 1] - prep.rect_min[:, 1]
+    area = jnp.where(prep.valid, rw * rh, 0)
+    return jnp.max(area)
 
 
 def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
-                  cfg: RasterConfig, opacity=None) -> Binning:
+                  cfg: RasterConfig, opacity=None,
+                  cull_sigma=None, pixel_offset: float = 0.5) -> Binning:
+    """Bin splats into per-tile depth-ordered pair lists.
+
+    ``opacity`` enables the output-invariant circle cull (see
+    ``opacity_radius``); without it the cull is skipped — the plain
+    AABB-rect binning matches the reference's getRect exactly.
+    ``cull_sigma``: optional per-splat sigma_max override ([N], original
+    index space) — the 3DGS path passes radius/3 since its prep carries
+    no surfel extents.  ``pixel_offset``: sample-rect convention of the
+    consuming blend (0.5 = pixel centers, 0.0 = corners; see
+    ``circle_tile_overlap``)."""
     n = prep.depth.shape[0]
     r_cap = cfg.max_tiles_per_gaussian
     num_tiles = grid_x * grid_y
@@ -118,12 +171,12 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
     tx = ox[:, None] + dx
     ty = oy[:, None] + dy
     pair_ok = valid[:, None] & (slot < (rw_c * rh_c)[:, None])
-    if cfg.tile_circle_cull:
-        r_bin = prep.radius.astype(jnp.float32)
-        if opacity is not None:
-            r_bin = opacity_radius(r_bin, opacity)
+    if cfg.tile_circle_cull and opacity is not None:
+        r_bin = opacity_radius(prep.radius, opacity, extent=prep.extent,
+                               sigma=cull_sigma)
         pair_ok &= circle_tile_overlap(
-            prep.center[order][:, None, :], r_bin[order][:, None], tx, ty)
+            prep.center[order][:, None, :], r_bin[order][:, None], tx, ty,
+            pixel_offset=pixel_offset)
     tile = jnp.where(pair_ok, ty * grid_x + tx, num_tiles).astype(jnp.int32)
 
     # flattened depth-major emission; sort by tile id, depth order inside

@@ -54,13 +54,17 @@ def rasterize_dense(means3d, scales, quats, opacities, colors, cam: Camera,
     in_tile = ((tx[None, :] >= rmin[:, 0:1]) & (tx[None, :] < rmax[:, 0:1])
                & (ty[None, :] >= rmin[:, 1:2]) & (ty[None, :] < rmax[:, 1:2]))
     if tile_circle_cull:
-        # match the binned paths' 3-sigma circle-vs-tile test exactly
-        # (ops/binning.py circle_tile_overlap); center is order-sorted
-        # in this scope, so sort the radius the same way
-        from .binning import circle_tile_overlap
+        # match the binned paths' visibility-circle test exactly
+        # (ops/binning.py circle_tile_overlap + opacity_radius); center
+        # is order-sorted in this scope, so sort radius/extent the same
+        # way.  The cull is output-invariant (it only drops alpha<1/255
+        # pairs) — applying it here keeps tiled-vs-dense parity exact
+        # to the bit rather than merely to the invariance bound.
+        from .binning import circle_tile_overlap, opacity_radius
+        r_vis = opacity_radius(prep.radius[order], opac,
+                               extent=prep.extent[order])
         in_tile &= circle_tile_overlap(
-            center[:, None, :],
-            prep.radius[order].astype(jnp.float32)[:, None],
+            center[:, None, :], r_vis[:, None],
             tx[None, :], ty[None, :])
     alpha = jnp.where(in_tile, alpha, 0.0)
 

@@ -151,8 +151,15 @@ def rasterize_3dgs(means3d, scales, quats, opacities, colors, cam: Camera,
         bg = jnp.zeros((C,), jnp.float32)
     prep = preprocess3d(means3d, scales, quats, cam, scale_modifier,
                         cov3d_precomp)
-    binning = bin_gaussians(_as_surfel_prep(prep), gx, gy, cfg)
     opac = jnp.where(prep.valid, opacities.reshape(-1), 0.0)
+    # circle cull with the exact conic visibility bound (sigma_max =
+    # radius/3) and the corner-sample rect convention of this blend
+    # (pixels at integer coords, see `pix` below) — output-invariant,
+    # so the dense oracle needs no matching cull (test_raster3d).
+    binning = bin_gaussians(_as_surfel_prep(prep), gx, gy, cfg,
+                            opacity=opac,
+                            cull_sigma=prep.radius.astype(jnp.float32) / 3.0,
+                            pixel_offset=0.0)
 
     num_tiles = gx * gy
     P = TILE * TILE

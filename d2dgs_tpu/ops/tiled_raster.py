@@ -157,8 +157,8 @@ def rasterize_tiled(means3d, scales, quats, opacities, colors, cam: Camera,
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
     prep = preprocess(means3d, scales, quats, cam, scale_modifier)
-    binning = bin_gaussians(prep, gx, gy, cfg)
     opac = jnp.where(prep.valid, opacities, 0.0)
+    binning = bin_gaussians(prep, gx, gy, cfg, opacity=opac)
     tile_color, tile_allmap, _ = blend_tiles(
         prep.T, prep.center, prep.normal, colors, opac,
         binning, gx, gy, cfg)

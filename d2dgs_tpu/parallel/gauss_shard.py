@@ -57,7 +57,7 @@ class ShardRender(NamedTuple):
 
 def _emit_records(prep, feats, grid_x: int, grid_y: int, n_dev: int,
                   cfg: RasterConfig, exchange_cap: int,
-                  counts_only: bool = False):
+                  counts_only: bool = False, opacity=None):
     """Per-device: depth-sort local gaussians, expand tile rects, group
     records by destination device (tile % n_dev).  Returns
     (blocks [n_dev, cap, NFEAT+1], valid [n_dev, cap], overflow), or
@@ -83,14 +83,14 @@ def _emit_records(prep, feats, grid_x: int, grid_y: int, n_dev: int,
     tx = ox[:, None] + slot % sw
     ty = oy[:, None] + slot // sw
     ok = valid[:, None] & (slot < (rw_c * rh_c)[:, None])
-    if cfg.tile_circle_cull:
-        # identical 3-sigma circle-vs-tile test as the single-chip
-        # binning (ops/binning.py) — sharded and replicated paths must
-        # bin the same pairs or their losses diverge
-        from ..ops.binning import circle_tile_overlap
+    if cfg.tile_circle_cull and opacity is not None:
+        # identical visibility-circle test as the single-chip binning
+        # (ops/binning.py opacity_radius) — sharded and replicated
+        # paths bin the same pairs, so losses AND pair counts match
+        from ..ops.binning import circle_tile_overlap, opacity_radius
+        r_vis = opacity_radius(prep.radius, opacity, extent=prep.extent)
         ok &= circle_tile_overlap(
-            prep.center[order][:, None, :],
-            prep.radius[order].astype(jnp.float32)[:, None], tx, ty)
+            prep.center[order][:, None, :], r_vis[order][:, None], tx, ty)
     tile = jnp.where(ok, ty * grid_x + tx, num_tiles).astype(jnp.int32)
 
     dest = jnp.where(ok, tile % n_dev, n_dev).astype(jnp.int32)
@@ -268,7 +268,8 @@ def shard_render_core(cam: Camera, means, scl, qt, opc, col, alv,
          opc_m[:, None], prep.depth[:, None]], axis=-1)
 
     blocks, blk_ok, overflow = _emit_records(
-        prep, feats, grid_x, grid_y, n_dev, cfg, exchange_cap)
+        prep, feats, grid_x, grid_y, n_dev, cfg, exchange_cap,
+        opacity=opc_m)
     # the exchange: blocks[d] -> device d   (ICI all_to_all)
     recs = jax.lax.all_to_all(blocks, axis, split_axis=0,
                               concat_axis=0, tiled=True)
@@ -352,35 +353,44 @@ def render_gauss_sharded(mesh: Mesh, cam: Camera, means3d, scales, quats,
 
 def measure_exchange_counts(mesh: Mesh, cam: Camera, means3d, scales,
                             quats, alive,
-                            cfg: RasterConfig = RasterConfig()):
+                            cfg: RasterConfig = RasterConfig(),
+                            opacity=None):
     """Max per-(src,dst) record count of the exchange for THIS scene —
     the auto-sizing input for exchange_cap (instead of magic constants).
-    Returns a scalar int (host)."""
+    Pass ``opacity`` so the count reflects the visibility cull the real
+    render applies (else the cap sizes to the uncalled emission, which
+    is only an over-estimate).  Returns a scalar int (host)."""
     n_dev = mesh.shape[AXIS]
     gx, gy = tile_grid(cam.H, cam.W)
+    if opacity is None:
+        opacity = jnp.ones((means3d.shape[0],), jnp.float32)
 
-    def shard_fn(means, scl, qt, alv):
+    def shard_fn(means, scl, qt, alv, opc):
         prep = preprocess(means, scl, qt, cam)
         valid = prep.valid & alv
         prep = prep._replace(valid=valid,
                              radius=jnp.where(valid, prep.radius, 0))
         counts = _emit_records(prep, None, gx, gy, n_dev, cfg,
-                               exchange_cap=0, counts_only=True)
+                               exchange_cap=0, counts_only=True,
+                               opacity=jnp.where(valid, opc, 0.0))
         return jax.lax.pmax(jnp.max(counts), AXIS)
 
     mx = jax.jit(jax.shard_map(
-        shard_fn, mesh=mesh, in_specs=(P(AXIS),) * 4,
-        out_specs=P(), check_vma=False))(means3d, scales, quats, alive)
+        shard_fn, mesh=mesh, in_specs=(P(AXIS),) * 5,
+        out_specs=P(), check_vma=False))(means3d, scales, quats, alive,
+                                         opacity)
     return int(mx)
 
 
 def suggest_exchange_cap(mesh: Mesh, cams, means3d, scales, quats, alive,
                          cfg: RasterConfig = RasterConfig(),
-                         margin: float = 1.5, quantum: int = 256) -> int:
+                         margin: float = 1.5, quantum: int = 256,
+                         opacity=None) -> int:
     """Size the exchange from measured per-destination counts over a
     sample of cameras, with headroom for training-time growth."""
     mx = max(measure_exchange_counts(mesh, c, means3d, scales, quats,
-                                     alive, cfg) for c in cams)
+                                     alive, cfg, opacity=opacity)
+             for c in cams)
     return max(quantum, int(-(-mx * margin // quantum)) * quantum)
 
 

@@ -64,3 +64,23 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(loaded),
                     jax.tree_util.tree_leaves(state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7)
+
+    # checkpoints are path-keyed (format 2): a layout drift between save
+    # and load must fail loudly by NAME, never silently mis-assign
+    # (ADVICE r4: the positional format mis-indexed across the
+    # active_sh_degree meta->data move)
+    with np.load(path) as z:
+        assert int(z["__format__"]) == 2
+        assert any(k.startswith("leaf:") for k in z.files)
+
+    # legacy positional checkpoints with a different leaf count get a
+    # clear "incompatible checkpoint format" error, not a shape assert
+    import pytest
+    leaves = jax.tree_util.tree_leaves(state)
+    legacy = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves[:-1])}
+    legacy["__iteration__"] = np.asarray(1)
+    legacy["__iteration_node__"] = np.asarray(0)
+    legacy_path = str(tmp_path / "legacy.npz")
+    np.savez(legacy_path, **legacy)
+    with pytest.raises(ValueError, match="incompatible checkpoint format"):
+        load_train_state(legacy_path, template)

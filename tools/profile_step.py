@@ -9,10 +9,12 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), "..",
-                                   ".jax_cache"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from d2dgs_tpu.utils.cache import cache_dir  # noqa: E402 (pre-jax, no jax dep)
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      cache_dir(os.path.join(os.path.dirname(__file__), "..",
+                                             ".jax_cache")))
 
 import jax
 import jax.numpy as jnp
