@@ -41,148 +41,168 @@ N = 100_000
 
 
 def main():
-    # static capacities tuned to the measured workload (pair stats are
-    # printed; work-queue overflow==0 is asserted below and the rect-cap
-    # clamp count is surfaced in the output detail — no silent
-    # truncation): rect cap 16 tiles/gaussian (trained-scale splats touch
-    # ~3-4), tile_cap above the busiest tile's count.  pair_cap depends
-    # on the scale/opacity source: the converged-run distribution fills
-    # ~3k tile-aligned work-queue chunks (cap 3072), the hand-set
-    # log(8e-3) fallback ~4250 (cap 4608, the r2 value) — the pad-free
-    # work queue makes cap slack nearly free.
+    """Times BOTH benchmark workloads and prints ONE JSON line.
+
+    * ``canonical`` — the hand-set log(8e-3) splat workload every round
+      since r2 has used: the cross-round TREND line.
+    * ``empirical`` — scale/opacity sampled jointly from the committed
+      converged-run export (CONVERGENCE_r0N_dist.npz): realism.
+
+    Top-level value/vs_baseline = the EMPIRICAL workload (the honest
+    headline; r4's recorded number was on this basis), with both
+    workloads' full numbers in detail.workloads (VERDICT r4 weak #2:
+    never again report a number whose workload isn't committed).
+
+    All static capacities are sized from the measured workload itself
+    (emission_cap from required_emission, pair_cap from the binned
+    chunk count, tile_cap from the busiest tile) and the drop counters
+    are asserted zero — no silent truncation anywhere (VERDICT r4 weak
+    #3; the CUDA reference sizes its buffers at exactly num_rendered,
+    rasterizer_impl.cu:196-342).
+    """
+    import dataclasses
+
+    from d2dgs_tpu.models.gaussians import apply_deform
+    from d2dgs_tpu.ops.binning import bin_gaussians, required_emission
+    from d2dgs_tpu.ops.projection import preprocess, tile_grid
+
     dist_path = next(
         (p for p in (os.path.join(os.path.dirname(__file__),
                                   f"CONVERGENCE_r{r:02d}_dist.npz")
-                     for r in (4, 3))
+                     for r in (5, 4, 3))
          if os.path.exists(p)), "")
-    have_dist = bool(dist_path)
-    # Probe with LOOSE caps (the converged distribution bins ~2.4x the
-    # pairs of the hand-set fallback — a tight probe cap overflowed);
-    # the timed step then re-sizes pair_cap AND tile_cap to the measured
-    # workload: the CUDA reference allocates its binning buffers at
-    # exactly num_rendered (rasterizer_impl.cu:196-342), and loose
-    # static caps make the pair gather/scatter and both kernels stream
-    # pad chunks.
-    cfg = TrainConfig(gaussian_capacity=N, node_num=512,
-                      raster=RasterConfig(
-                          tile_cap=4096, chunk=128,
-                          pair_cap=1 << 20,
-                          max_tiles_per_gaussian=16))
+
+    base_cfg = TrainConfig(gaussian_capacity=N, node_num=512,
+                           raster=RasterConfig(tile_cap=4096, chunk=64,
+                                               pair_cap=1 << 20,
+                                               emission_cap=1 << 21))
     key = jax.random.PRNGKey(0)
     # trained-scene-like cluster: unit-ish body, small splats
     pts = np.asarray(jax.random.normal(key, (N, 3)) * 0.4)
     cols = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (N, 3)))
-    state = init_train_state(key, cfg, pts, cols)
-    import dataclasses
-    gauss = state.gauss
-    # Scale/opacity statistics: sampled (jointly, with replacement) from
-    # the converged convergence-bench state when its export exists
-    # (CONVERGENCE_r03_dist.npz, tools/convergence_bench.py; VERDICT r2
-    # item 6) — else hand-set trained-scale splats ~1e-2 world units.
-    scale_src = "hand-set log(8e-3)"
-    if have_dist:
-        with np.load(dist_path) as z:
-            rows = np.random.RandomState(0).randint(
-                0, z["scaling"].shape[0], size=N)
-            gauss = dataclasses.replace(
-                gauss,
-                scaling=jnp.asarray(z["scaling"][rows]),
-                opacity=jnp.asarray(z["opacity"][rows]))
-        scale_src = ("converged-run empirical ("
-                     + os.path.basename(dist_path) + ")")
-    else:
-        gauss = dataclasses.replace(
-            gauss, scaling=jnp.full_like(gauss.scaling, np.log(8e-3)))
+    state = init_train_state(key, base_cfg, pts, cols)
     cam = orbit_camera(0.3, 0.25, 4.0, fov=0.69, H=H, W=W, time=0.5)
     gt = jnp.zeros((H, W, 3), jnp.float32)
     bg = jnp.zeros((3,), jnp.float32)
     nodes = state.nodes
 
-    def loss_fn(g_xyz, g_scaling, g_rot, g_opac, g_fdc, mlp):
-        g = dataclasses.replace(gauss, xyz=g_xyz, scaling=g_scaling,
-                                rotation=g_rot, opacity=g_opac,
-                                features_dc=g_fdc)
-        nd = dataclasses.replace(nodes, mlp=mlp)
-        d = warp(nd, cfg.node_cfg, g.xyz, cam.time, feature=g.feature,
-                 motion_mask=g.motion_mask)
-        out = render(cam, g, bg, d_xyz=d["d_xyz"],
-                     d_rotation=d["d_rotation"], d_scaling=d["d_scaling"],
-                     cfg=cfg.raster)
-        return ((1.0 - cfg.lambda_dssim) * l1(out.image, gt)
-                + cfg.lambda_dssim * (1.0 - ssim(out.image, gt)))
+    def make_gauss(workload):
+        if workload == "empirical":
+            with np.load(dist_path) as z:
+                rows = np.random.RandomState(0).randint(
+                    0, z["scaling"].shape[0], size=N)
+                return dataclasses.replace(
+                    state.gauss,
+                    scaling=jnp.asarray(z["scaling"][rows]),
+                    opacity=jnp.asarray(z["opacity"][rows]))
+        return dataclasses.replace(
+            state.gauss,
+            scaling=jnp.full_like(state.gauss.scaling, np.log(8e-3)))
 
-    # dependency-chained timing: each step's xyz input consumes the
-    # previous step's gradient (x + 0*g), so the final scalar fetch can
-    # only complete after EVERY step has executed on-device — immune to
-    # async-dispatch / lazy-sync artifacts of remote-relay backends
-    # (block_until_ready alone under-syncs through the axon tunnel).
-    def step_fn(g_xyz, g_scaling, g_rot, g_opac, g_fdc, mlp):
-        v, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5))(
-            g_xyz, g_scaling, g_rot, g_opac, g_fdc, mlp)
-        return v, g_xyz + grads[0] * 0.0
-    step = jax.jit(step_fn)
-    args = (gauss.xyz, gauss.scaling, gauss.rotation, gauss.opacity,
-            gauss.features_dc, nodes.mlp)
+    def bench_workload(workload):
+        gauss = make_gauss(workload)
+        cfg = base_cfg
 
-    # capacity probe: the configured static caps must hold the workload
-    d0 = warp(nodes, cfg.node_cfg, gauss.xyz, cam.time,
-              feature=gauss.feature, motion_mask=gauss.motion_mask)
-    probe = render(cam, gauss, bg, d_xyz=d0["d_xyz"],
-                   d_rotation=d0["d_rotation"], d_scaling=d0["d_scaling"],
-                   cfg=cfg.raster)
-    num_pairs = int(probe.num_pairs)
-    overflow = int(probe.overflow)
-    clamped = int(probe.clamped)
-    assert overflow == 0, f"work-queue overflow {overflow}: raise pair_cap"
-    # right-size the static pair cap to the measured chunk-aligned work
-    # (exact total, +16 chunks slack; deterministic workload, and the
-    # timed step's own overflow counter still guards the tight cap)
-    from d2dgs_tpu.models.gaussians import apply_deform
-    from d2dgs_tpu.ops.binning import bin_gaussians
-    from d2dgs_tpu.ops.projection import preprocess, tile_grid
-    gxy = tile_grid(H, W)
-    m3d, sc, qs, op_, _ = apply_deform(gauss, d0["d_xyz"],
-                                       d0["d_rotation"], d0["d_scaling"])
-    prep = preprocess(m3d, sc, qs, cam, 1.0)
-    binn = bin_gaussians(prep, gxy[0], gxy[1], cfg.raster, opacity=op_)
-    counts = np.asarray(binn.tile_count)
-    max_tile = int(counts.max())
-    assert max_tile <= cfg.raster.tile_cap, \
-        f"busiest tile {max_tile} > probe tile_cap"  # no silent clipping
-    total_work = int(np.sum((counts + 127) // 128))
-    cfg = dataclasses.replace(
-        cfg, raster=dataclasses.replace(
-            cfg.raster, pair_cap=(total_work + 16) * 128,
+        # ---- probe: measure the workload, then right-size every cap ----
+        d0 = warp(nodes, cfg.node_cfg, gauss.xyz, cam.time,
+                  feature=gauss.feature, motion_mask=gauss.motion_mask)
+        gx, gy = tile_grid(H, W)
+        m3d, sc, qs, op_, _ = apply_deform(gauss, d0["d_xyz"],
+                                           d0["d_rotation"],
+                                           d0["d_scaling"])
+        prep = preprocess(m3d, sc, qs, cam, 1.0)
+        need_emit = int(required_emission(prep))
+        cfg = dataclasses.replace(cfg, raster=dataclasses.replace(
+            cfg.raster, emission_cap=((need_emit + 4095) // 4096) * 4096))
+        binn = bin_gaussians(prep, gx, gy, cfg.raster, opacity=op_)
+        assert int(binn.clamped) == 0, \
+            f"emission drop {int(binn.clamped)} after exact sizing"
+        counts = np.asarray(binn.tile_count)
+        max_tile = int(counts.max())
+        ch = cfg.raster.chunk
+        total_work = int(np.sum((counts + ch - 1) // ch))
+        cfg = dataclasses.replace(cfg, raster=dataclasses.replace(
+            cfg.raster, pair_cap=(total_work + 16) * ch,
             tile_cap=((max_tile + 127) // 128 + 1) * 128))
 
-    t0 = time.time()
-    v, xyz = step(*args)
-    float(v)
-    compile_s = time.time() - t0
+        # counters under the FINAL config (the timed step's exact shapes)
+        probe = render(cam, gauss, bg, d_xyz=d0["d_xyz"],
+                       d_rotation=d0["d_rotation"],
+                       d_scaling=d0["d_scaling"], cfg=cfg.raster)
+        num_pairs = int(probe.num_pairs)
+        overflow = int(probe.overflow)
+        clamped = int(probe.clamped)
+        assert overflow == 0, f"work-queue overflow {overflow}"
+        assert clamped == 0, f"emission drop {clamped}"
 
-    iters = 20
-    xyz = gauss.xyz
-    t0 = time.time()
-    for _ in range(iters):
-        v, xyz = step(xyz, *args[1:])
-    float(v)
-    dt = (time.time() - t0) / iters
+        def loss_fn(g_xyz, g_scaling, g_rot, g_opac, g_fdc, mlp):
+            g = dataclasses.replace(gauss, xyz=g_xyz, scaling=g_scaling,
+                                    rotation=g_rot, opacity=g_opac,
+                                    features_dc=g_fdc)
+            nd = dataclasses.replace(nodes, mlp=mlp)
+            d = warp(nd, cfg.node_cfg, g.xyz, cam.time, feature=g.feature,
+                     motion_mask=g.motion_mask)
+            out = render(cam, g, bg, d_xyz=d["d_xyz"],
+                         d_rotation=d["d_rotation"],
+                         d_scaling=d["d_scaling"], cfg=cfg.raster)
+            return ((1.0 - cfg.lambda_dssim) * l1(out.image, gt)
+                    + cfg.lambda_dssim * (1.0 - ssim(out.image, gt)))
 
-    rays_per_s = H * W / dt
+        # dependency-chained timing: each step's xyz input consumes the
+        # previous step's gradient (x + 0*g), so the final scalar fetch
+        # can only complete after EVERY step has executed on-device —
+        # immune to async-dispatch / lazy-sync artifacts of remote-relay
+        # backends (block_until_ready alone under-syncs through the axon
+        # tunnel).
+        def step_fn(g_xyz, g_scaling, g_rot, g_opac, g_fdc, mlp):
+            v, grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2, 3, 4, 5))(
+                g_xyz, g_scaling, g_rot, g_opac, g_fdc, mlp)
+            return v, g_xyz + grads[0] * 0.0
+        step = jax.jit(step_fn)
+        args = (gauss.xyz, gauss.scaling, gauss.rotation, gauss.opacity,
+                gauss.features_dc, nodes.mlp)
+
+        t0 = time.time()
+        v, xyz = step(*args)
+        float(v)
+        compile_s = time.time() - t0
+
+        iters = 20
+        xyz = gauss.xyz
+        t0 = time.time()
+        for _ in range(iters):
+            v, xyz = step(xyz, *args[1:])
+        float(v)
+        dt = (time.time() - t0) / iters
+        rays = H * W / dt
+        return {"rays_per_s": round(rays, 1),
+                "vs_baseline": round(rays / A100_REF_RAYS_PER_S, 4),
+                "step_ms": round(dt * 1e3, 2),
+                "compile_s": round(compile_s, 1),
+                "num_pairs": num_pairs,
+                "emission_cap": cfg.raster.emission_cap,
+                "pair_cap": cfg.raster.pair_cap,
+                "tile_cap": cfg.raster.tile_cap,
+                "max_tile_count": max_tile,
+                "overflow": overflow,
+                "emission_dropped": clamped}
+
+    results = {"canonical": bench_workload("canonical")}
+    if dist_path:
+        results["empirical"] = bench_workload("empirical")
+        results["empirical"]["scale_opacity_source"] = \
+            os.path.basename(dist_path)
+    head = results.get("empirical", results["canonical"])
     print(json.dumps({
         "metric": "jumpingjacks-scale 800x800 rays/s/chip fwd+bwd",
-        "value": round(rays_per_s, 1),
+        "value": head["rays_per_s"],
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_s / A100_REF_RAYS_PER_S, 4),
-        "detail": {"step_ms": round(dt * 1e3, 2),
-                   "compile_s": round(compile_s, 1),
+        "vs_baseline": head["vs_baseline"],
+        "detail": {"headline_workload":
+                   "empirical" if dist_path else "canonical",
                    "n_gaussians": N,
-                   "num_pairs": num_pairs,
-                   "overflow": overflow,
-                   "rect_clamped": clamped,
-                   "max_tile_count": max_tile,
-                   "pair_cap": cfg.raster.pair_cap,
-                   "scale_opacity_source": scale_src,
+                   "workloads": results,
                    "device": str(jax.devices()[0]).split(":")[0]},
     }))
 
@@ -214,7 +234,7 @@ def main_scaling():
     Ns = 100_000 if on_tpu else 20_000
     cfg = TrainConfig(gaussian_capacity=Ns, node_num=512 if on_tpu else 128,
                       raster=RasterConfig(tile_cap=1024 if on_tpu else 512,
-                                          chunk=128,
+                                          chunk=64,
                                           pair_cap=1 << 16,
                                           use_pallas=on_tpu))
     key = jax.random.PRNGKey(0)

@@ -41,14 +41,17 @@ class RasterConfig:
     (XLA requires static shapes; the reference's dynamic per-tile lists
     become fixed-capacity padded buffers).
     """
-    # Max tiles a single Gaussian's screen rect may cover. Rects larger than
-    # this are clamped around the rect center (the reference prunes splats
-    # with screen radius > 20px during training, so post-warmup this never
-    # binds at the default).
-    max_tiles_per_gaussian: int = 32
+    # Static capacity of the flat binning emission (total tile-rect slots
+    # across all splats, BEFORE the visibility cull — the reference's
+    # dynamically-sized num_rendered, rasterizer_impl.cu:278).  There is
+    # no per-gaussian rect cap: every splat bins its full rect like the
+    # CUDA getRect.  Oversubscription drops the DEEPEST splats' slots and
+    # is reported via Binning.clamped; size from
+    # ops/binning.required_emission for clamp-free guarantees (bench.py).
+    emission_cap: int = 1 << 21
     # Gaussians are staged through the blend loop in chunks of this size
     # (the TPU analogue of the CUDA 256-thread shared-memory batches).
-    chunk: int = 128
+    chunk: int = 64
     # Per-tile capacity of the gathered-list renderer (pairs beyond this
     # depth-sorted prefix are dropped; increase for dense scenes).
     tile_cap: int = 4096

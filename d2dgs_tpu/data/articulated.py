@@ -421,8 +421,8 @@ def make_articulated_dataset(seed: int, n_cams: int, n_times: int,
     bg = np.zeros(3, np.float32) if bg is None else np.asarray(bg)
     times = [i / max(n_times - 1, 1) for i in range(n_times)]
     if cfg is None:
-        cfg = RasterConfig(tile_cap=4096, chunk=128,
-                           pair_cap=1 << 21, max_tiles_per_gaussian=16)
+        cfg = RasterConfig(tile_cap=4096, chunk=64,
+                           pair_cap=1 << 21)
 
     @jax.jit
     def _render_one(g, cam):

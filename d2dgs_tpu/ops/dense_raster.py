@@ -9,6 +9,7 @@ this is the functional spec the Pallas kernels are validated against.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..config import TILE
@@ -54,18 +55,17 @@ def rasterize_dense(means3d, scales, quats, opacities, colors, cam: Camera,
     in_tile = ((tx[None, :] >= rmin[:, 0:1]) & (tx[None, :] < rmax[:, 0:1])
                & (ty[None, :] >= rmin[:, 1:2]) & (ty[None, :] < rmax[:, 1:2]))
     if tile_circle_cull:
-        # match the binned paths' visibility-circle test exactly
-        # (ops/binning.py circle_tile_overlap + opacity_radius); center
-        # is order-sorted in this scope, so sort radius/extent the same
-        # way.  The cull is output-invariant (it only drops alpha<1/255
-        # pairs) — applying it here keeps tiled-vs-dense parity exact
-        # to the bit rather than merely to the invariance bound.
-        from .binning import circle_tile_overlap, opacity_radius
-        r_vis = opacity_radius(prep.radius[order], opac,
-                               extent=prep.extent[order])
-        in_tile &= circle_tile_overlap(
-            center[:, None, :], r_vis[:, None],
-            tx[None, :], ty[None, :])
+        # match the binned paths' exact visibility-circle test
+        # (ops/binning.py visibility_circles); everything here is
+        # order-sorted, so index the circles the same way.  The cull is
+        # output-invariant (it only drops alpha<1/255 pairs) — applying
+        # it here keeps tiled-vs-dense parity exact to the bit rather
+        # than merely to the invariance bound.
+        from .binning import circles_tile_hit, visibility_circles
+        vc = visibility_circles(prep, jnp.where(prep.valid, opacities, 0.0))
+        vc_s = jax.tree.map(lambda a: a[order][..., None, :]
+                            if a.ndim == 2 else a[order][:, None], vc)
+        in_tile &= circles_tile_hit(vc_s, tx[None, :], ty[None, :])
     alpha = jnp.where(in_tile, alpha, 0.0)
 
     state = B.init_state(H * W)

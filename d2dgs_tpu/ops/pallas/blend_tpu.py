@@ -126,6 +126,88 @@ def _resp(feats, px, py):
     return jnp.where(keep, alpha, 0.0), depth           # [G,P] each
 
 
+def _resp_manual_vjp(feats, px, py):
+    """``_resp`` forward + HAND-DERIVED adjoint closure.
+
+    Replaces ``jax.vjp(_resp)`` inside the backward kernel: the autodiff
+    transpose re-materializes roughly twice the elementwise work
+    (ablation-measured ~6 ms of the ~20 ms backward kernel at the bench
+    workload); this closure reuses the forward's intermediates and
+    writes the minimal adjoint chain of the cross-product / homogeneous
+    division (mirrors the structure of the CUDA backward's explicit
+    chain, backward.cu:142-449).  Branch subgradients (min, where)
+    match autodiff away from ties; parity is pinned by
+    tests/test_pallas_blend.py::test_chunk_bwd_matches_autodiff.
+    Returns (alpha [G,P], depth [G,P], vjp(abar, dbar) -> gfeats
+    [G, NFEAT])."""
+    f = lambda i: feats[:, i:i + 1]                     # [G,1]
+    f6, f7, f8 = f(6), f(7), f(8)
+    kx = px * f6 - f(0)
+    ky = px * f7 - f(1)
+    kz = px * f8 - f(2)
+    lx = py * f6 - f(3)
+    ly = py * f7 - f(4)
+    lz = py * f8 - f(5)
+    p_x = ky * lz - kz * ly
+    p_y = kz * lx - kx * lz
+    p_z = kx * ly - ky * lx
+    good = p_z != 0.0
+    inv_pz = jnp.where(good, 1.0 / jnp.where(good, p_z, 1.0), 0.0)
+    sx = p_x * inv_pz
+    sy = p_y * inv_pz
+    rho3d = sx * sx + sy * sy
+    dx = f(9) - px
+    dy = f(10) - py
+    rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
+    m3 = rho3d <= rho2d
+    depth = jnp.where(m3, sx * f6 + sy * f7 + f8, f8)
+    E = jnp.exp(-0.5 * jnp.minimum(rho3d, rho2d))
+    raw = f(17) * E
+    alpha = jnp.minimum(ALPHA_CLIP, raw)
+    keep = good & (depth >= NEAR_PLANE) & (alpha >= ALPHA_CUTOFF)
+    alpha_out = jnp.where(keep, alpha, 0.0)
+
+    def vjp(abar, dbar):
+        ab = jnp.where(keep, abar, 0.0)
+        raw_bar = jnp.where(raw < ALPHA_CLIP, ab, 0.0)
+        rho_bar = -0.5 * raw_bar * raw
+        m3f = m3.astype(jnp.float32)
+        r3b = rho_bar * m3f
+        r2b = rho_bar - r3b
+        # rho2d branch -> low-pass center (features 9, 10)
+        g9 = jnp.sum(2.0 * FILTER_INV_SQUARE * r2b * dx, axis=1)
+        g10 = jnp.sum(2.0 * FILTER_INV_SQUARE * r2b * dy, axis=1)
+        # depth + rho3d branches -> intersection point s
+        dbm = dbar * m3f
+        sx_bar = dbm * f6 + 2.0 * r3b * sx
+        sy_bar = dbm * f7 + 2.0 * r3b * sy
+        pxb = sx_bar * inv_pz
+        pyb = sy_bar * inv_pz
+        pzb = -(sx_bar * sx + sy_bar * sy) * inv_pz
+        # cross-product transpose: p = k x l
+        kx_b = pzb * ly - pyb * lz
+        ky_b = pxb * lz - pzb * lx
+        kz_b = pyb * lx - pxb * ly
+        lx_b = pyb * kz - pzb * ky
+        ly_b = pzb * kx - pxb * kz
+        lz_b = pxb * ky - pyb * kx
+        g0 = -jnp.sum(kx_b, axis=1)
+        g1 = -jnp.sum(ky_b, axis=1)
+        g2 = -jnp.sum(kz_b, axis=1)
+        g3 = -jnp.sum(lx_b, axis=1)
+        g4 = -jnp.sum(ly_b, axis=1)
+        g5 = -jnp.sum(lz_b, axis=1)
+        g6 = jnp.sum(kx_b * px + lx_b * py + dbm * sx, axis=1)
+        g7 = jnp.sum(ky_b * px + ly_b * py + dbm * sy, axis=1)
+        g8 = jnp.sum(kz_b * px + lz_b * py + dbar, axis=1)
+        g17 = jnp.sum(raw_bar * E, axis=1)
+        z = jnp.zeros_like(g0)
+        return jnp.stack([g0, g1, g2, g3, g4, g5, g6, g7, g8, g9, g10,
+                          z, z, z, z, z, z, g17], axis=-1)
+
+    return alpha_out, depth, vjp
+
+
 def _chunk_step(st, feats, px, py):
     """Blend one depth-sorted chunk of Gaussians into the tile state.
 
@@ -220,9 +302,10 @@ def _chunk_bwd(saved, feats, px, py, gst):
     formulation of the CUDA back-to-front walk (backward.cu:142-449):
     compositing cotangents reduce to three suffix sums over the chunk
     (for the distortion dist1/dist2 coupling and the cumprod
-    transmittance), and only the small elementwise ray-splat response is
-    re-differentiated via jax.vjp.  Parity with jax.vjp(_chunk_step) is
-    pinned by tests/test_pallas_blend.py::test_chunk_bwd_matches_autodiff.
+    transmittance), and the ray-splat response adjoint is the
+    hand-written chain in ``_resp_manual_vjp``.  Parity with
+    jax.vjp(_chunk_step) is pinned by
+    tests/test_pallas_blend.py::test_chunk_bwd_matches_autodiff.
     """
     G = feats.shape[0]
     T_in = saved[ROW_T:ROW_T + 1]
@@ -230,7 +313,7 @@ def _chunk_bwd(saved, feats, px, py, gst):
     d1_in = saved[ROW_D1:ROW_D1 + 1]
     d2_in = saved[ROW_D2:ROW_D2 + 1]
 
-    (alpha, depth), resp_vjp = jax.vjp(lambda fe: _resp(fe, px, py), feats)
+    alpha, depth, resp_vjp = _resp_manual_vjp(feats, px, py)
 
     # --- recompute the compositing forward (residuals) ---
     om = 1.0 - alpha
@@ -298,7 +381,7 @@ def _chunk_bwd(saved, feats, px, py, gst):
     abar = abar - (tot(TbT) - _incl_cumsum0(TbT)) / om  # om >= 1-ALPHA_CLIP
 
     # --- feature gradients ---
-    (gfeats,) = resp_vjp((abar, dbar))
+    gfeats = resp_vjp(abar, dbar)
     gnc_feat = jax.lax.dot(w, gnc.T,
                            preferred_element_type=jnp.float32)  # [G,6]
     gfeats = gfeats + jnp.pad(gnc_feat, ((0, 0), (11, NFEAT - 17)))
@@ -477,6 +560,33 @@ def _bwd_call(num_tiles: int, gx: int, n_chunks: int, interpret: bool):
 # ======================================================================
 
 
+def _window_gather_i32(arr: jnp.ndarray, base: jnp.ndarray, width: int):
+    """``arr[base[w] + j] for j < width`` — contiguous-window gather.
+
+    A direct [W, width] gather from a 1-column int32 array runs at
+    ~10 ns/ELEMENT on TPU (measured 6.5 ms for 700k elements — XLA row
+    gathers pay per row and these rows are 4 bytes).  Windows are
+    contiguous, so instead gather 8-element BLOCKS (8x fewer rows) and
+    realign each window with 8 static-shift selects (pure VPU work).
+    Out-of-range rows are clipped; callers mask invalid lanes."""
+    W = base.shape[0]
+    nblk = width // 8 + 1                       # covers width + 7 offset
+    a = jnp.concatenate([arr, jnp.zeros((8,), arr.dtype)])
+    a = a[: (a.shape[0] // 8) * 8]
+    blocks = a.reshape(-1, 8)
+    b0 = base // 8
+    rows = b0[:, None] + jnp.arange(nblk, dtype=jnp.int32)[None, :]
+    win = blocks[jnp.clip(rows, 0, blocks.shape[0] - 1)]
+    win = win.reshape(W, nblk * 8)              # [W, width + 8]
+    r = (base % 8)[:, None]
+    out = jax.lax.slice_in_dim(win, 0, width, axis=1)
+    for s in range(1, 8):
+        out = jnp.where(r == s,
+                        jax.lax.slice_in_dim(win, s, s + width, axis=1),
+                        out)
+    return out
+
+
 def build_work_queue(feats: jnp.ndarray, binning, num_tiles: int,
                      cfg: RasterConfig):
     """Compact chunk-aligned pair gather + work-item maps.
@@ -512,20 +622,19 @@ def build_work_queue(feats: jnp.ndarray, binning, num_tiles: int,
     work_tile = jnp.where(pad, num_tiles, wt).astype(jnp.int32)
 
     base = binning.tile_start[wt] + wc * ch                   # [W]
-    slots = base[:, None] + jnp.arange(ch, dtype=jnp.int32)[None, :]
     ok = (jnp.arange(ch, dtype=jnp.int32)[None, :]
           < (counts[wt] - wc * ch)[:, None]) & ~pad[:, None]
-    # invalid slots all hit row 0: pad work items otherwise gather
-    # arbitrary real rows (then mask to zero) — at a loose pair_cap
-    # nearly half the gather's row traffic was pads
-    slots = jnp.where(ok, jnp.clip(slots, 0, n_pairs - 1), 0)
     # Gather features via depth ranks: pre-sort the [N] feature rows once
     # (cheap), then index with the compact pair ranks — never gather at
     # [B]-pair granularity from the unsorted side (see Binning layout
-    # note).  Barriers keep each gather a standalone kernel on XLA's
-    # fast gather path.
+    # note).  The rank lookup itself rides the contiguous-window trick
+    # (_window_gather_i32); invalid lanes all hit row 0 so pad work
+    # items add no real gather row traffic.  Barriers keep each gather
+    # a standalone kernel on XLA's fast gather path.
+    ranks = _window_gather_i32(
+        jnp.clip(binning.pair_rank, 0, None), base, ch)
+    ranks = jnp.where(ok, ranks, 0)
     feats_sorted = jax.lax.optimization_barrier(feats[binning.order])
-    ranks = jax.lax.optimization_barrier(binning.pair_rank[slots])
     g = jax.lax.optimization_barrier(feats_sorted[ranks])    # [W,CHUNK,NFEAT]
     g = jnp.where(ok[..., None], g, 0.0)
     return g, work_tile, first, last, overflow

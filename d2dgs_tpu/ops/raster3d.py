@@ -153,9 +153,10 @@ def rasterize_3dgs(means3d, scales, quats, opacities, colors, cam: Camera,
                         cov3d_precomp)
     opac = jnp.where(prep.valid, opacities.reshape(-1), 0.0)
     # circle cull with the exact conic visibility bound (sigma_max =
-    # radius/3) and the corner-sample rect convention of this blend
-    # (pixels at integer coords, see `pix` below) — output-invariant,
-    # so the dense oracle needs no matching cull (test_raster3d).
+    # radius/3, exact since radius = ceil(3*sqrt(lambda_max))) and the
+    # corner-sample rect convention of this blend (pixels at integer
+    # coords, see `pix` below) — output-invariant, so the dense oracle
+    # needs no matching cull (test_raster3d).
     binning = bin_gaussians(_as_surfel_prep(prep), gx, gy, cfg,
                             opacity=opac,
                             cull_sigma=prep.radius.astype(jnp.float32) / 3.0,

@@ -61,9 +61,19 @@ def _emit_records(prep, feats, grid_x: int, grid_y: int, n_dev: int,
     """Per-device: depth-sort local gaussians, expand tile rects, group
     records by destination device (tile % n_dev).  Returns
     (blocks [n_dev, cap, NFEAT+1], valid [n_dev, cap], overflow), or
-    per-destination counts [n_dev] when counts_only."""
+    per-destination counts [n_dev] when counts_only.
+
+    Emission is the same FLAT scheme as the single-chip binning
+    (ops/binning.py bin_gaussians): exclusive scan of rect areas +
+    run-start scatter + one packed-row gather, no per-gaussian rect cap
+    — so sharded and replicated paths bin literally the same pairs
+    (losses AND pair counts match).  The per-shard slot budget is
+    emission_cap / n_dev: each device holds ~1/n_dev of the scene.
+    """
+    from ..ops.binning import (_CULL_ALL, _NO_CULL, emission_slots,
+                               visibility_circles)
     n = prep.depth.shape[0]
-    r_cap = cfg.max_tiles_per_gaussian
+    E = max(-(-cfg.emission_cap // max(n_dev, 1)), 1024)
     num_tiles = grid_x * grid_y
 
     depth_key = jnp.where(prep.valid, prep.depth, jnp.inf)
@@ -72,35 +82,46 @@ def _emit_records(prep, feats, grid_x: int, grid_y: int, n_dev: int,
     rmin, rmax = prep.rect_min[order], prep.rect_max[order]
     valid = prep.valid[order]
     rw = rmax[:, 0] - rmin[:, 0]
-    rh = rmax[:, 1] - rmin[:, 1]
-    rw_c = jnp.minimum(rw, r_cap)
-    rh_c = jnp.minimum(rh, jnp.maximum(r_cap // jnp.maximum(rw_c, 1), 1))
-    ox = rmin[:, 0] + (rw - rw_c) // 2
-    oy = rmin[:, 1] + (rh - rh_c) // 2
+    area = jnp.where(valid, rw * (rmax[:, 1] - rmin[:, 1]), 0)
 
-    slot = jnp.arange(r_cap, dtype=jnp.int32)[None, :]
-    sw = jnp.maximum(rw_c, 1)[:, None]
-    tx = ox[:, None] + slot % sw
-    ty = oy[:, None] + slot // sw
-    ok = valid[:, None] & (slot < (rw_c * rh_c)[:, None])
     if cfg.tile_circle_cull and opacity is not None:
         # identical visibility-circle test as the single-chip binning
-        # (ops/binning.py opacity_radius) — sharded and replicated
-        # paths bin the same pairs, so losses AND pair counts match
-        from ..ops.binning import circle_tile_overlap, opacity_radius
-        r_vis = opacity_radius(prep.radius, opacity, extent=prep.extent)
-        ok &= circle_tile_overlap(
-            prep.center[order][:, None, :], r_vis[order][:, None], tx, ty)
+        vc = visibility_circles(prep, opacity)
+        sr2 = jnp.where(vc.cull_all, _CULL_ALL,
+                        jnp.where(vc.cullable, vc.radius * vc.radius,
+                                  _NO_CULL))[order]
+        ccen = vc.center[order]
+    else:
+        sr2 = jnp.full((n,), _NO_CULL)
+        ccen = jnp.zeros((n, 2), jnp.float32)
+
+    g, offs, total = emission_slots(area, E)
+    pack = jnp.stack([
+        offs.astype(jnp.float32), jnp.maximum(rw, 1).astype(jnp.float32),
+        rmin[:, 0].astype(jnp.float32), rmin[:, 1].astype(jnp.float32),
+        ccen[:, 0], ccen[:, 1], sr2,
+        order.astype(jnp.float32)], axis=-1)              # [n,8]
+    pe = pack[g]                                          # [E,8]
+    e = jnp.arange(E, dtype=jnp.int32)
+    slot = e - pe[:, 0].astype(jnp.int32)
+    sw = pe[:, 1].astype(jnp.int32)
+    tx = pe[:, 2].astype(jnp.int32) + slot % sw
+    ty = pe[:, 3].astype(jnp.int32) + slot // sw
+    ok = e < total
+    x0 = tx.astype(jnp.float32) * TILE + 0.5
+    y0 = ty.astype(jnp.float32) * TILE + 0.5
+    dx = pe[:, 4] - jnp.clip(pe[:, 4], x0, x0 + (TILE - 1.0))
+    dy = pe[:, 5] - jnp.clip(pe[:, 5], y0, y0 + (TILE - 1.0))
+    ok &= dx * dx + dy * dy <= pe[:, 6]
     tile = jnp.where(ok, ty * grid_x + tx, num_tiles).astype(jnp.int32)
 
     dest = jnp.where(ok, tile % n_dev, n_dev).astype(jnp.int32)
     if counts_only:
-        return jnp.sum(jax.nn.one_hot(dest.ravel(), n_dev,
-                                      dtype=jnp.int32), axis=0)
-    flat_dest = dest.ravel()
-    flat_tile = tile.ravel()
-    flat_gid = jnp.broadcast_to(order[:, None], (n, r_cap)).ravel()
-    flat_ok = ok.ravel()
+        return jnp.sum(jax.nn.one_hot(dest, n_dev, dtype=jnp.int32), axis=0)
+    flat_dest = dest
+    flat_tile = tile
+    flat_gid = pe[:, 7].astype(jnp.int32)
+    flat_ok = ok
 
     # group by destination, keeping depth-major emission order per dest
     sort_dest, s_tile, s_gid, s_ok = jax.lax.sort(

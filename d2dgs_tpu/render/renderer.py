@@ -42,9 +42,9 @@ class RenderOutput(NamedTuple):
     num_pairs: jnp.ndarray    # scalar: binned pair count (load metric)
     overflow: jnp.ndarray     # scalar i32: work-queue chunks dropped
                               # (pair_cap exceeded) — should be 0
-    clamped: jnp.ndarray      # scalar i32: gaussians whose tile rect was
-                              # cut to max_tiles_per_gaussian (coverage
-                              # loss if nonzero at a converged scene)
+    clamped: jnp.ndarray      # scalar i32: binning emission slots dropped
+                              # (emission_cap exceeded; coverage loss for
+                              # the deepest splats if nonzero)
 
 
 def depth_to_normal(cam: Camera, depth: jnp.ndarray):

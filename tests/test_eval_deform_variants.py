@@ -95,8 +95,7 @@ def test_render_test_set(tmp_path):
 
     cfg = TrainConfig(sh_degree=1, hyper_dim=2, node_num=8,
                       gaussian_capacity=64, node_gauss_capacity=32,
-                      raster=RasterConfig(tile_cap=64, chunk=32,
-                                          max_tiles_per_gaussian=8))
+                      raster=RasterConfig(tile_cap=64, chunk=32))
     cams, imgs, pts, cols = make_video_dataset(
         jax.random.PRNGKey(0), n_cams=2, n_times=2, H=32, W=32, n_gauss=8)
     state = init_train_state(jax.random.PRNGKey(1), cfg, pts[:32], cols[:32])

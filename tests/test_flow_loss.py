@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from d2dgs_tpu.config import RasterConfig
 from d2dgs_tpu.data.flow import find_flow_dirs, load_flow, target_name
@@ -12,8 +13,7 @@ from d2dgs_tpu.data.synthetic import make_video_dataset
 from d2dgs_tpu.train.config import TrainConfig
 from d2dgs_tpu.train.trainer import Trainer, main_stage_step
 
-RC = RasterConfig(tile_cap=256, chunk=64, max_tiles_per_gaussian=16,
-                  pair_cap=4096)
+RC = RasterConfig(tile_cap=256, chunk=64, pair_cap=4096)
 
 
 def test_flow_file_discovery_and_loading(tmp_path):
@@ -38,6 +38,7 @@ def test_flow_file_discovery_and_loading(tmp_path):
                                rtol=1e-5)
 
 
+@pytest.mark.slow  # trainer e2e (full-suite only)
 def test_flow_loss_step_runs_and_grads_flow():
     cams, imgs, pts, cols = make_video_dataset(
         jax.random.PRNGKey(3), n_cams=2, n_times=2, H=32, W=32, n_gauss=8)

@@ -12,8 +12,7 @@ from d2dgs_tpu.ops.tiled_raster import rasterize_tiled, tiles_to_image
 from d2dgs_tpu.parallel.gauss_shard import (AXIS, pad_to_multiple,
                                             render_gauss_sharded)
 
-CFG = RasterConfig(tile_cap=256, chunk=64, use_pallas=False,
-                   max_tiles_per_gaussian=32)
+CFG = RasterConfig(tile_cap=256, chunk=64, use_pallas=False)
 
 
 @pytest.fixture(scope="module")

@@ -47,8 +47,7 @@ def test_checkpoint_roundtrip(tmp_path):
 
     cfg = TrainConfig(sh_degree=1, hyper_dim=2, node_num=8,
                       gaussian_capacity=64, node_gauss_capacity=32,
-                      raster=RasterConfig(tile_cap=64, chunk=32,
-                                          max_tiles_per_gaussian=8))
+                      raster=RasterConfig(tile_cap=64, chunk=32))
     rng = np.random.RandomState(0)
     state = init_train_state(jax.random.PRNGKey(0), cfg,
                              rng.randn(32, 3).astype(np.float32),

@@ -81,6 +81,7 @@ def test_save_ply(tmp_path, sphere_mesh):
     assert f"element vertex {len(verts)}".encode() in data[:400]
 
 
+@pytest.mark.slow  # mesh e2e (full-suite only)
 def test_reconstruct_from_gaussians():
     """End-to-end: mesh a rendered gaussian blob through the full driver."""
     from d2dgs_tpu.config import RasterConfig
@@ -91,8 +92,7 @@ def test_reconstruct_from_gaussians():
 
     cfg = TrainConfig(sh_degree=1, hyper_dim=2, node_num=16,
                       gaussian_capacity=64, node_gauss_capacity=32,
-                      raster=RasterConfig(tile_cap=64, chunk=32,
-                                          max_tiles_per_gaussian=16))
+                      raster=RasterConfig(tile_cap=64, chunk=32))
     cams, imgs, pts, cols = make_video_dataset(
         jax.random.PRNGKey(0), n_cams=6, n_times=1, H=48, W=48, n_gauss=12)
     state = init_train_state(jax.random.PRNGKey(1), cfg, pts[:32], cols[:32])

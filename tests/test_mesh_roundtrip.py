@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-suite only (see pytest.ini)
+
 from d2dgs_tpu.config import RasterConfig
 from d2dgs_tpu.data.cameras import orbit_camera
 from d2dgs_tpu.data.synthetic import animated_scene

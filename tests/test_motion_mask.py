@@ -1,6 +1,9 @@
 """Motion-mask supervision (reference train_gui.py:363-370, 509-515):
 the detached-geometry motion render must push per-Gaussian motion-mask
 logits up inside the gt dynamic region and down outside it."""
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite only (see pytest.ini)
 import dataclasses
 
 import jax
@@ -14,8 +17,7 @@ from d2dgs_tpu.render.renderer import render
 from d2dgs_tpu.train.config import TrainConfig
 from d2dgs_tpu.train.trainer import Trainer, motion_mask_loss
 
-RC = RasterConfig(tile_cap=256, chunk=64, max_tiles_per_gaussian=32,
-                  pair_cap=4096)
+RC = RasterConfig(tile_cap=256, chunk=64, pair_cap=4096)
 CFG = TrainConfig(raster=RC, gaussian_capacity=64)
 
 

@@ -32,8 +32,7 @@ def _scene(seed=0):
 
 
 def _cfg(**kw):
-    base = dict(tile_cap=256, chunk=64, max_tiles_per_gaussian=32,
-                pair_cap=4096)
+    base = dict(tile_cap=256, chunk=64, pair_cap=4096)
     base.update(kw)
     return RasterConfig(**base)
 

@@ -29,7 +29,7 @@ def _no_persistent_cache():
 CFG = TrainConfig(
     sh_degree=1, hyper_dim=2, node_num=16, gaussian_capacity=256,
     node_gauss_capacity=128, warm_up=0,
-    raster=RasterConfig(tile_cap=128, chunk=64, max_tiles_per_gaussian=16))
+    raster=RasterConfig(tile_cap=128, chunk=64))
 
 SCHED = dict(warm=jnp.float32(0.0), lambda_normal=jnp.float32(0.02),
              lambda_dist=jnp.float32(100.0), lambda_arap=jnp.float32(0.01),

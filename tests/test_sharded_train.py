@@ -21,8 +21,7 @@ from d2dgs_tpu.train.trainer import init_train_state, main_stage_step
 
 def _cfg(**kw):
     raster = kw.pop("raster", None) or RasterConfig(
-        tile_cap=256, chunk=64, pair_cap=8192, use_pallas=False,
-        max_tiles_per_gaussian=32)
+        tile_cap=256, chunk=64, pair_cap=8192, use_pallas=False)
     base = dict(sh_degree=1, hyper_dim=2, node_num=16,
                 gaussian_capacity=256, node_gauss_capacity=64, warm_up=0,
                 raster=raster)
@@ -121,13 +120,11 @@ def test_wq_pallas_blend_in_shard(setup):
     kw = dict(bg=bg, exchange_cap=4096)
     r_x = render_gauss_sharded(
         mesh, cams[0], means, scales, quats, opac, colors, g.alive,
-        cfg=RasterConfig(tile_cap=256, chunk=64, use_pallas=False,
-                         max_tiles_per_gaussian=32), **kw)
+        cfg=RasterConfig(tile_cap=256, chunk=64, use_pallas=False), **kw)
     r_p = render_gauss_sharded(
         mesh, cams[0], means, scales, quats, opac, colors, g.alive,
         cfg=RasterConfig(tile_cap=256, chunk=64, use_pallas=True,
-                         pallas_interpret=True,
-                         max_tiles_per_gaussian=32), **kw)
+                         pallas_interpret=True), **kw)
     np.testing.assert_allclose(np.asarray(r_p.image),
                                np.asarray(r_x.image), atol=3e-5)
     np.testing.assert_allclose(np.asarray(r_p.allmap),
@@ -139,11 +136,9 @@ def test_wq_pallas_blend_in_shard(setup):
         return jnp.mean((out.image - 0.5) ** 2)
 
     gx = jax.grad(lambda m: loss(RasterConfig(
-        tile_cap=256, chunk=64, use_pallas=False,
-        max_tiles_per_gaussian=32), m))(means)
+        tile_cap=256, chunk=64, use_pallas=False), m))(means)
     gp = jax.grad(lambda m: loss(RasterConfig(
-        tile_cap=256, chunk=64, use_pallas=True, pallas_interpret=True,
-        max_tiles_per_gaussian=32), m))(means)
+        tile_cap=256, chunk=64, use_pallas=True, pallas_interpret=True), m))(means)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                atol=1e-5, rtol=1e-3)
 

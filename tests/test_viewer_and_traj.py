@@ -110,8 +110,7 @@ def test_render_trajectory_writes_frames(tmp_path):
 
     cfg = TrainConfig(sh_degree=1, hyper_dim=2, node_num=16,
                       gaussian_capacity=64, node_gauss_capacity=32,
-                      raster=RasterConfig(tile_cap=64, chunk=32,
-                                          max_tiles_per_gaussian=16))
+                      raster=RasterConfig(tile_cap=64, chunk=32))
     pts = np.random.RandomState(0).randn(64, 3).astype(np.float32) * 0.3
     cols = np.full((64, 3), 0.5, np.float32)
     state = init_train_state(jax.random.PRNGKey(0), cfg, pts, cols)

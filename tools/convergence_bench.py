@@ -79,8 +79,7 @@ CFG = TrainConfig(
     opacity_reset_interval=1_500, normal_dist_from_iter=1_000,
     oneup_sh_degree_step=125,
     node_force_densify_prune_step=1_250,
-    raster=RasterConfig(tile_cap=2048, chunk=128, pair_cap=1 << 20,
-                        max_tiles_per_gaussian=16),
+    raster=RasterConfig(tile_cap=2048, chunk=64, pair_cap=1 << 20),
 )
 
 # scored at SAMPLED timestamps (t grid is i/7) — the reference journey

@@ -51,7 +51,7 @@ def timeit(name, fn, *args, iters=10):
 
 def main():
     cfg = TrainConfig(gaussian_capacity=N, node_num=512,
-                      raster=RasterConfig(tile_cap=2048, chunk=128, pair_cap=6144 * 128))
+                      raster=RasterConfig(tile_cap=2048, chunk=64, pair_cap=6144 * 128))
     rc = cfg.raster
     key = jax.random.PRNGKey(0)
     pts = np.asarray(jax.random.normal(key, (N, 3)) * 0.4)
@@ -94,6 +94,21 @@ def main():
     prep_fn = jax.jit(lambda m, s, q: preprocess(m, s, q, cam, 1.0))
     prep = prep_fn(means, scales, quats)
     timeit("preprocess fwd", prep_fn, means, scales, quats)
+
+    # auto-size every static cap to the measured workload, exactly as
+    # bench.py does (loose caps make every stage stream pad work)
+    from d2dgs_tpu.ops.binning import required_emission
+    need = int(required_emission(prep))
+    rc = dataclasses.replace(rc, emission_cap=((need + 4095) // 4096) * 4096)
+    binning0 = jax.jit(
+        lambda p: bin_gaussians(p, gx, gy, rc, opacity=opac))(prep)
+    counts0 = np.asarray(binning0.tile_count)
+    ch = rc.chunk
+    total_work = int(np.sum((counts0 + ch - 1) // ch))
+    rc = dataclasses.replace(
+        rc, pair_cap=(total_work + 16) * ch,
+        tile_cap=((int(counts0.max()) + ch - 1) // ch + 1) * ch)
+    cfg = dataclasses.replace(cfg, raster=rc)
 
     bin_fn = jax.jit(lambda p: bin_gaussians(p, gx, gy, rc, opacity=opac))
     binning = bin_fn(prep)
