@@ -23,6 +23,15 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                                              ".jax_cache")))
 
 import jax
+
+if "--sim-cpu" in __import__("sys").argv:
+    # simulated-device mode for the scaling artifact: 8 virtual CPU
+    # devices via the config API, set IMMEDIATELY after `import jax`
+    # (env vars alone don't displace the TPU plugin once it registers,
+    # and the config rejects updates after backend init)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -209,19 +218,25 @@ def main():
 
 def main_scaling():
     """Scaling harness (BASELINE.md north star: rays/s at 1 chip / 1 host
-    / N hosts).  Real N-chip hardware is unavailable here, so beyond the
-    single-chip number this measures the FULL-LOSS gauss-sharded training
-    step (parallel/gauss_train.py: L1+D-SSIM, normal-consistency,
-    distortion, ARAP, densify stats, Pallas work-queue blend on TPU) —
-    with the distributed tile-binning all_to_all exchange — on simulated
-    device meshes, reporting per-mesh step wall time, exchange overflow,
-    and loss parity across mesh sizes.  One JSON line per mesh size."""
+    / N hosts) — writes the committed SCALING_r05.json artifact
+    (VERDICT r4 missing #2).
+
+    Real N-chip hardware is unavailable in this environment, so beyond
+    the single-chip number this measures the FULL-LOSS gauss-sharded
+    training step (parallel/gauss_train.py: L1+D-SSIM,
+    normal-consistency, distortion, ARAP, densify stats) — with the
+    distributed tile-binning all_to_all exchange — on simulated device
+    meshes, reporting per-mesh step wall time (labelled simulated, NOT a
+    perf number on CPU), exchange overflow, per-device pair balance, and
+    loss parity across mesh sizes.  The same code path initializes via
+    jax.distributed.initialize on real pods (parallel/multihost.py)."""
     import dataclasses
 
     import jax
     import jax.numpy as jnp
 
     from d2dgs_tpu.parallel import (make_mesh2d, make_sharded_train_step,
+                                    measure_exchange_counts,
                                     shard_gauss_state, stack_cameras,
                                     suggest_exchange_cap)
     from d2dgs_tpu.train.trainer import init_train_state
@@ -255,6 +270,7 @@ def main_scaling():
                  step=jnp.float32(10_000.0))
 
     losses = {}
+    meshes_out = []
     sizes = [d for d in (1, 2, 4, 8) if d <= n_dev_all]
     for nd in sizes:
         mesh = make_mesh2d(1, nd)
@@ -262,6 +278,10 @@ def main_scaling():
         g = base_state.gauss
         # auto-size the exchange from measured per-destination counts
         # (no magic caps; VERDICT r2 item 7)
+        count_mat = measure_exchange_counts(
+            mesh, cam, g.xyz, g.get_scaling,
+            quat_normalize(g.rotation, eps=1e-12), g.alive, cfg.raster,
+            full=True)
         cap = suggest_exchange_cap(
             mesh, [cam], g.xyz, g.get_scaling,
             quat_normalize(g.rotation, eps=1e-12), g.alive, cfg.raster)
@@ -277,22 +297,46 @@ def main_scaling():
         jax.block_until_ready(s2)
         dt = (time.time() - t0) / iters
         losses[nd] = float(m["loss"])
+        per_dev = count_mat.sum(axis=0)          # records landing per device
+        balance = float(per_dev.max() / max(per_dev.mean(), 1.0))
+        entry = {
+            "n_devices": nd,
+            "step_ms_simulated": round(dt * 1e3, 2),
+            "overflow": int(m["overflow"]),
+            "loss": float(m["loss"]),
+            "exchange_cap": cap,
+            "per_device_pairs": [int(x) for x in per_dev],
+            "pair_balance_max_over_mean": round(balance, 4),
+        }
+        meshes_out.append(entry)
         print(json.dumps({
             "metric": f"full-loss gauss-sharded step {nd}dev "
                       f"({jax.devices()[0].platform})",
             "value": round(Hs * Ws / dt, 1),
             "unit": "rays/s",
             "vs_baseline": 0.0,
-            "detail": {"step_ms": round(dt * 1e3, 2),
-                       "overflow": int(m["overflow"]),
-                       "loss": float(m["loss"]),
-                       "exchange_cap": cap,
-                       "n_devices": nd}}))
+            "detail": entry}))
     # loss parity across mesh sizes (overflow 0 -> same math)
     base_loss = losses[sizes[0]]
     for nd, lo in losses.items():
         assert abs(lo - base_loss) <= 5e-4 * max(abs(base_loss), 1e-3), \
             f"loss mismatch at {nd} devices: {lo} vs {base_loss}"
+    artifact = {
+        "note": ("full-loss gauss-sharded training step with all_to_all "
+                 "tile-binning exchange on SIMULATED devices (CPU host "
+                 "platform) — correctness/balance artifact, NOT a perf "
+                 "measurement; real multi-chip hardware unavailable in "
+                 "this environment (BASELINE.md)"),
+        "platform": jax.devices()[0].platform,
+        "H": Hs, "W": Ws, "n_gaussians": Ns,
+        "loss_parity_rel_tol": 5e-4,
+        "loss_parity_ok": True,
+        "per_mesh": meshes_out,
+    }
+    out_path = os.path.join(os.path.dirname(__file__), "SCALING_r05.json")
+    with open(out_path, "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

@@ -20,7 +20,7 @@ from .tsdf import (TsdfVolume, extract_mesh, integrate_view,
 def reconstruct_mesh(cameras, gauss, nodes, node_cfg, raster_cfg,
                      mesh_time: float, bg=None,
                      alpha_masks=None,
-                     bounds=((-1.3, -1.3, -1.3), (1.3, 1.3, 1.3)),
+                     bounds="auto",
                      voxel: float = 0.008, depth_trunc: float = 6.0,
                      keep_clusters: int = 1,
                      depth_filtering: bool = True,
@@ -28,11 +28,25 @@ def reconstruct_mesh(cameras, gauss, nodes, node_cfg, raster_cfg,
                      deform_cfg=None):
     """cameras: list[Camera]; alpha_masks: optional list of [H,W,1] gt
     masks (depth zeroed where mask < 0.5, mesh_utils.py:185-186).
+    ``bounds``: explicit ((min),(max)) world AABB, or "auto" to fit the
+    deformed alive splats at mesh_time +-5% margin — a fixed default box
+    silently clips scenes that extend past it.
     Returns (verts, faces) or (verts, faces, vert_colors)."""
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
     if deform_cfg is None:
         deform_cfg = DeformConfig(deform_type="node", node=node_cfg)
+    if bounds == "auto":
+        d0 = deform_gaussians(nodes, deform_cfg, gauss.xyz,
+                              jnp.float32(mesh_time),
+                              feature=gauss.feature,
+                              motion_mask=gauss.motion_mask)
+        xyz = np.asarray(gauss.xyz + d0["d_xyz"])
+        am = np.asarray(gauss.alive)
+        xyz = xyz[am] if am.any() else xyz
+        span = xyz.max(0) - xyz.min(0)
+        pad = 0.05 * float(span.max()) + voxel
+        bounds = (tuple(xyz.min(0) - pad), tuple(xyz.max(0) + pad))
     vol = make_volume(bounds[0], bounds[1], voxel=voxel)
     t = jnp.float32(mesh_time)
 

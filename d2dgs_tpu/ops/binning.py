@@ -249,8 +249,10 @@ def emission_slots(area: jnp.ndarray, E: int):
     return g, offs, total
 
 
-_NO_CULL = jnp.float32(1e30)   # signed r^2 sentinel: circle always hits
-_CULL_ALL = jnp.float32(-1.0)  # signed r^2 sentinel: circle never hits
+# signed-r^2 sentinels (plain floats: a module-level jnp constant would
+# initialize the JAX backend at import time)
+_NO_CULL = 1e30    # circle always hits
+_CULL_ALL = -1.0   # circle never hits
 
 
 def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,

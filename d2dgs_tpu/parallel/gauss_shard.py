@@ -375,12 +375,14 @@ def render_gauss_sharded(mesh: Mesh, cam: Camera, means3d, scales, quats,
 def measure_exchange_counts(mesh: Mesh, cam: Camera, means3d, scales,
                             quats, alive,
                             cfg: RasterConfig = RasterConfig(),
-                            opacity=None):
+                            opacity=None, full: bool = False):
     """Max per-(src,dst) record count of the exchange for THIS scene —
     the auto-sizing input for exchange_cap (instead of magic constants).
     Pass ``opacity`` so the count reflects the visibility cull the real
     render applies (else the cap sizes to the uncalled emission, which
-    is only an over-estimate).  Returns a scalar int (host)."""
+    is only an over-estimate).  Returns a scalar int (host); with
+    ``full`` the whole [src, dst] count matrix (the scaling harness
+    reports per-device pair balance from it)."""
     n_dev = mesh.shape[AXIS]
     gx, gy = tile_grid(cam.H, cam.W)
     if opacity is None:
@@ -394,13 +396,14 @@ def measure_exchange_counts(mesh: Mesh, cam: Camera, means3d, scales,
         counts = _emit_records(prep, None, gx, gy, n_dev, cfg,
                                exchange_cap=0, counts_only=True,
                                opacity=jnp.where(valid, opc, 0.0))
-        return jax.lax.pmax(jnp.max(counts), AXIS)
+        return jax.lax.all_gather(counts, AXIS)          # [src, dst]
 
-    mx = jax.jit(jax.shard_map(
+    mat = jax.jit(jax.shard_map(
         shard_fn, mesh=mesh, in_specs=(P(AXIS),) * 5,
         out_specs=P(), check_vma=False))(means3d, scales, quats, alive,
                                          opacity)
-    return int(mx)
+    mat = np.asarray(mat)
+    return mat if full else int(mat.max())
 
 
 def suggest_exchange_cap(mesh: Mesh, cams, means3d, scales, quats, alive,
