@@ -421,7 +421,10 @@ def make_articulated_dataset(seed: int, n_cams: int, n_times: int,
     bg = np.zeros(3, np.float32) if bg is None else np.asarray(bg)
     times = [i / max(n_times - 1, 1) for i in range(n_times)]
     if cfg is None:
-        cfg = RasterConfig(tile_cap=4096, chunk=64,
+        # tile_cap 8192: at 800x800 the busiest GT tile exceeds 4096
+        # stacked surfels (edge-on limbs), and the overflow counter now
+        # reports per-tile truncation too
+        cfg = RasterConfig(tile_cap=8192, chunk=64,
                            pair_cap=1 << 21)
 
     @jax.jit

@@ -84,33 +84,29 @@ class Binning(NamedTuple):
 def opacity_radius(radius: jnp.ndarray, opacity: jnp.ndarray,
                    extent: jnp.ndarray | None = None,
                    sigma: jnp.ndarray | None = None):
-    """Exact per-splat visibility radius given its opacity.
+    """Exact visibility radius for the CONIC (3DGS) blend law.
 
-    The blend drops contributions with alpha = op*exp(-rho/2) < 1/255
-    (forward.cu:397-402), i.e. a pixel is visible only when
-    rho <= 2L, L = ln(255*op).  rho = min(rho3d, rho2d):
-
-    * low-pass branch rho2d = 2*d^2  ->  d <= sqrt(L);
-    * splat branch: the farthest point of the 1-sigma level set from
-      the AABB center is sigma_max <= ||extent||_2 (the semi-major axis
-      is bounded by the AABB half-diagonal), and level sets scale as
-      sqrt(rho) under the same affine model the reference's own AABB
-      uses (forward.cu:133-163)  ->  d <= sigma_max * sqrt(2L).
-
-    ``extent``: per-splat [.., 2] 1-sigma AABB half-extents (surfel
-    path).  ``sigma``: direct per-splat sigma_max override, taking
-    precedence — the 3DGS conic path passes radius/3, exact since its
+    The blend drops contributions with alpha = op*exp(-rho/2) < 1/255,
+    i.e. a pixel is visible only when rho <= 2L, L = ln(255*op).  For
+    the conic law rho = d^T Sigma^-1 d >= d^2 / lambda_max, so
+    d <= sigma_max * sqrt(2L) with sigma_max = sqrt(lambda_max) — pass
+    it via ``sigma``; the 3DGS path uses radius/3, exact since its
     radius is ceil(3*sqrt(lambda_max)) (ops/raster3d.py preprocess3d).
-    With neither, sigma_max falls back to radius/3 (conservative only
-    for the conic law).
+    The max(.., sqrt(L)) low-pass term only widens the bound (the conic
+    law has no separate low-pass branch).
+
+    The SURFEL law's intersection response is projective, not a screen
+    Gaussian — its exact bound is ``visibility_circles`` below; the
+    legacy ``extent`` path here (AABB-diagonal, affine scaling) is a
+    conservative approximation kept for reference.
 
     The bound is deliberately NOT clamped to the 3-sigma binning
     radius: for opaque splats the visible region extends BEYOND 3 sigma
     (alpha there is up to 1.1% > 1/255), so min(r, vis) would cull real
     contributions — the round-4 raster3d parity regression.  Culling
     with this bound drops only pairs whose every pixel has
-    alpha < 1/255, i.e. it is output-invariant for both blend laws
-    (within the rect the reference itself bins)."""
+    alpha < 1/255, i.e. it is output-invariant (within the rect the
+    reference itself bins)."""
     r = radius.astype(jnp.float32)
     op = jax.lax.stop_gradient(opacity).astype(jnp.float32)
     L = jnp.log(jnp.maximum(255.0 * op, 1e-12))

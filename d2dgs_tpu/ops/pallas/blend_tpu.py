@@ -604,7 +604,14 @@ def build_work_queue(feats: jnp.ndarray, binning, num_tiles: int,
     work_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(nch, dtype=jnp.int32)])
     total_work = work_start[-1]
-    overflow = jnp.maximum(total_work - w_cap, 0)
+    # overflow counts DROPPED PAIRS from BOTH static caps: per-tile
+    # truncation (tile_cap, deepest pairs of the busiest tiles) and the
+    # global queue cap (pair_cap, deepest tiles' chunks).  Either drop
+    # was previously partly silent — exactly the truncation class that
+    # starved training when a cap was undersized (trainers log it,
+    # bench asserts it zero).
+    tile_trunc = jnp.sum(jnp.maximum(binning.tile_count - cfg.tile_cap, 0))
+    overflow = tile_trunc + jnp.maximum(total_work - w_cap, 0) * ch
 
     w = jnp.arange(w_cap, dtype=jnp.int32)
     wt = jnp.clip(jnp.searchsorted(work_start, w, side="right") - 1,

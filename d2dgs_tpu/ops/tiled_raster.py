@@ -93,13 +93,16 @@ def blend_tiles(Tmat, center, normal, colors, opacity, binning: Binning,
     """Backend dispatch: Pallas TPU kernel or pure-XLA oracle.
 
     Returns (tile_color [T,P,3], tile_allmap [T,P,8], overflow scalar
-    i32 — number of work-queue chunks dropped because pair_cap was
-    exceeded; 0 on the non-workqueue paths).
+    i32 — PAIRS dropped by the static caps: per-tile tile_cap
+    truncation on every path, plus the work queue's pair_cap drops).
     """
     from .pallas.blend_tpu import (CHUNK, NFEAT, _is_tpu, blend_tiles_pallas,
                                    blend_tiles_wq, build_gdata,
                                    build_work_queue)
-    overflow = jnp.zeros((), jnp.int32)
+    # tile_cap clipping drops a busy tile's DEEPEST pairs on every
+    # backend — surface it (silent truncation starved a training run
+    # when a cap was undersized for a bigger resolution)
+    overflow = jnp.sum(jnp.maximum(binning.tile_count - cfg.tile_cap, 0))
     if (cfg.use_pallas and cfg.tile_cap % 128 == 0
             and (_is_tpu() or cfg.pallas_interpret)):
         n = Tmat.shape[0]

@@ -74,15 +74,24 @@ N_CAMS, N_TIMES = (12, 8) if not FAST else (6, 3)
 # schedule-bound) — resetting every 375 iters mass-pruned recovering
 # splats and starved the densifier (~2k alive at 640x640).
 CFG = TrainConfig(
-    sh_degree=3, hyper_dim=8, node_num=512, K=3,
+    # node_num 1024 = the reference's run-script flag default
+    # (arguments/__init__.py:66); 512 under-articulates the thin
+    # fast-swinging hoop (it vanished from the r5 512-node runs)
+    sh_degree=3, hyper_dim=8, node_num=1024, K=3,
     gaussian_capacity=120_000 if not FAST else 20_000,
     node_gauss_capacity=8_192,
-    iterations=10_000 if not FAST else 600,
+    # main stage 15k (~1:5.3 of the reference 80k): the 1:8 budget was
+    # calibrated at 640x640; at the target 800x800 the same iteration
+    # count is 1.56x thinner per pixel and the 20px screen-size prune
+    # bites 1.25x earlier in world units — the r5 first attempt at 1:8
+    # stalled at 59k alive / PSNR 27.2.  densify_until keeps the
+    # reference 62.5% fraction (50k/80k -> 9.4k/15k).
+    iterations=15_000 if not FAST else 600,
     warm_up=375, node_warm_up=250,
     iterations_node_sampling=950 if not FAST else 150,
     iterations_node_rendering=1_250 if not FAST else 200,
     densification_interval=100, densify_from_iter=62,
-    densify_until_iter=6_250 if not FAST else 400,
+    densify_until_iter=9_375 if not FAST else 400,
     opacity_reset_interval=1_500, normal_dist_from_iter=1_000,
     oneup_sh_degree_step=125,
     node_force_densify_prune_step=1_250,
