@@ -271,12 +271,6 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
     depth_key = jnp.where(prep.valid, prep.depth, jnp.inf)
     order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
 
-    rmin = prep.rect_min[order]          # [N,2] (x, y)
-    rmax = prep.rect_max[order]
-    valid = prep.valid[order]
-    rw = rmax[:, 0] - rmin[:, 0]
-    area = jnp.where(valid, rw * (rmax[:, 1] - rmin[:, 1]), 0)
-
     # per-splat visibility circle as (cx, cy, signed r^2): sentinel
     # +inf => keep every rect tile, -1 => splat below the alpha cutoff
     if cfg.tile_circle_cull and opacity is not None:
@@ -294,11 +288,24 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
                             jnp.where(vc.cullable, vc.radius * vc.radius,
                                       _NO_CULL))
             ccen = vc.center
-        sr2 = sr2[order]
-        ccen = ccen[order]
     else:
         sr2 = jnp.full((n,), _NO_CULL)
         ccen = jnp.zeros((n, 2), jnp.float32)
+
+    # ONE packed [N,8] depth-order gather instead of five row gathers
+    # (rect_min, rect_max, valid, circle center, r^2): TPU row gathers
+    # are latency-bound (~0.5 ms EACH at N=100k regardless of width),
+    # so packing the per-splat columns first is ~4x cheaper.  Bitwise
+    # identical: tile coords and rect widths are tiny ints (exact in
+    # f32) and ccen/sr2 pass through unchanged.
+    pk = jnp.concatenate([
+        prep.rect_min.astype(jnp.float32),               # 0,1  (x, y)
+        prep.rect_max.astype(jnp.float32),               # 2,3
+        prep.valid.astype(jnp.float32)[:, None],         # 4
+        ccen, sr2[:, None]], axis=-1)[order]             # 5,6 | 7  [N,8]
+    rw = (pk[:, 2] - pk[:, 0]).astype(jnp.int32)
+    rh = (pk[:, 3] - pk[:, 1]).astype(jnp.int32)
+    area = jnp.where(pk[:, 4] > 0.5, rw * rh, 0)
 
     # flat depth-major emission (duplicateWithKeys analogue): one packed
     # [N,8] row per splat, ONE [E]-row gather expands it to slots
@@ -307,9 +314,8 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
     pack = jnp.stack([
         offs.astype(jnp.float32),
         jnp.maximum(rw, 1).astype(jnp.float32),
-        rmin[:, 0].astype(jnp.float32),
-        rmin[:, 1].astype(jnp.float32),
-        ccen[:, 0], ccen[:, 1], sr2,
+        pk[:, 0], pk[:, 1],
+        pk[:, 5], pk[:, 6], pk[:, 7],
         jnp.zeros((n,), jnp.float32)], axis=-1)          # [N,8]
     pe = pack[g]                                          # [E,8]
     e = jnp.arange(E, dtype=jnp.int32)

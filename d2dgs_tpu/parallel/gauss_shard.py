@@ -79,27 +79,33 @@ def _emit_records(prep, feats, grid_x: int, grid_y: int, n_dev: int,
     depth_key = jnp.where(prep.valid, prep.depth, jnp.inf)
     order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
 
-    rmin, rmax = prep.rect_min[order], prep.rect_max[order]
-    valid = prep.valid[order]
-    rw = rmax[:, 0] - rmin[:, 0]
-    area = jnp.where(valid, rw * (rmax[:, 1] - rmin[:, 1]), 0)
-
     if cfg.tile_circle_cull and opacity is not None:
         # identical visibility-circle test as the single-chip binning
         vc = visibility_circles(prep, opacity)
         sr2 = jnp.where(vc.cull_all, _CULL_ALL,
                         jnp.where(vc.cullable, vc.radius * vc.radius,
-                                  _NO_CULL))[order]
-        ccen = vc.center[order]
+                                  _NO_CULL))
+        ccen = vc.center
     else:
         sr2 = jnp.full((n,), _NO_CULL)
         ccen = jnp.zeros((n, 2), jnp.float32)
 
+    # one packed depth-order gather, same as bin_gaussians (row gathers
+    # are latency-bound; packing keeps the emission bitwise identical)
+    pk = jnp.concatenate([
+        prep.rect_min.astype(jnp.float32),               # 0,1  (x, y)
+        prep.rect_max.astype(jnp.float32),               # 2,3
+        prep.valid.astype(jnp.float32)[:, None],         # 4
+        ccen, sr2[:, None]], axis=-1)[order]             # 5,6 | 7  [n,8]
+    rw = (pk[:, 2] - pk[:, 0]).astype(jnp.int32)
+    rh = (pk[:, 3] - pk[:, 1]).astype(jnp.int32)
+    area = jnp.where(pk[:, 4] > 0.5, rw * rh, 0)
+
     g, offs, total = emission_slots(area, E)
     pack = jnp.stack([
         offs.astype(jnp.float32), jnp.maximum(rw, 1).astype(jnp.float32),
-        rmin[:, 0].astype(jnp.float32), rmin[:, 1].astype(jnp.float32),
-        ccen[:, 0], ccen[:, 1], sr2,
+        pk[:, 0], pk[:, 1],
+        pk[:, 5], pk[:, 6], pk[:, 7],
         order.astype(jnp.float32)], axis=-1)              # [n,8]
     pe = pack[g]                                          # [E,8]
     e = jnp.arange(E, dtype=jnp.int32)
